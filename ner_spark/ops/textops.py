@@ -1,0 +1,463 @@
+"""Training-data text operators over the ``documents`` table: token
+counting, quality scoring, language ID, fingerprinting, exact and
+near-duplicate detection.  These are first-class engine ops (the
+100 TB training-pipeline face); each is pure DataFrame/JVM — no Python
+UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ner_spark.io.read import table
+from ner_spark.ops import register
+
+# Marker-substring profiles for the n-gram language-ID heuristic.
+# Counts of these substrings per language are summed into a score;
+# argmax with a fixed preference order breaks ties deterministically.
+LANG_MARKERS = {
+    "en": [" the ", " of ", " and ", " is ", "ing "],
+    "de": [" der ", " die ", " und ", " ist ", "sch"],
+    "es": [" el ", " la ", " los ", " que ", "ción"],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+}
+
+
+def _occurrences(col, marker: str):
+    """Occurrence count of ``marker`` in ``col`` via length arithmetic —
+    identical semantics in Spark and DuckDB, no regex edge cases."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
+    ) / len(marker)
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS re_tokens,
+           length(text) AS n_chars_exact
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / single punctuation) — all JVM regex."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(trimmed == "", 0)
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).alias("re_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) AS n_chars_exact
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                      / len(toks) END, 4) AS avg_tok_len,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','in','is')))::DOUBLE
+                      / len(toks) END, 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, stopword ratio
+    — the standard cheap filters for pretraining corpora, computed
+    with higher-order array functions (no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    d = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    stop = F.lit(["the", "a", "of", "and", "in", "is"])
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(F.col("toks"), lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / n
+            ),
+            4,
+        ).alias("avg_tok_len"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(
+                    F.filter(F.col("toks"), lambda x: F.array_contains(stop, x))
+                ).cast("double")
+                / n
+            ),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_sql = []
+    for lang, markers in LANG_MARKERS.items():
+        parts = [
+            f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+            for m in markers
+        ]
+        score_sql.append(f"({' + '.join(parts)}) AS s_{lang}")
+    case = (
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(score_sql)} FROM documents)
+    SELECT doc_id, {case} AS pred_lang FROM s
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark, sf_dir):
+    """Language ID via marker-substring profile scoring (n-gram
+    heuristic) — argmax over per-language scores with a fixed
+    preference order (en > de > es > fr) on ties."""
+    d = table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(_occurrences(F.col("text"), m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp,
+           md5(lower(trim(text))) AS fp_norm
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content hash raw + normalized (the
+    exact-dedup key).  md5 hex is engine-portable."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_norm"),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint; keeper =
+    min doc_id (deterministic).  At 100 TB this is one shuffle on a
+    64-hex key with map-side partial counts."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, lang, source, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents WHERE length(text) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, source,
+             substring(text, CAST(i AS INT), 5) AS shingle
+      FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.35
+    """,
+)
+def dedup_ngram(spark, sf_dir):
+    """Near-dup via exact 5-gram Jaccard within (lang, source) blocks.
+
+    This is the *exact* baseline the MinHash path approximates: shingle
+    → distinct → join on (block, shingle) → |A∩B| / (|A|+|B|-|A∩B|).
+    Blocking keys bound the join fan-out; at 100 TB the shingle join
+    shuffles (block, shingle) once and AQE handles hot shingles.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))
+                    ),
+                    lambda i: F.col("text").substr(i, F.lit(5)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= 0.35)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+# ---- MinHash + LSH banding (rows-only: hash family is engine-specific) ----
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands × 4 rows
+# Mersenne prime 2^31-1: (a mod p)·(x mod p) ≤ ~2^62 stays inside a
+# signed 64-bit long (ANSI mode would reject a wider product).
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, sig: array<bigint>[N_PERM]) MinHash signatures over
+    char k-gram shingles.
+
+    Deterministic hash family: h_i(x) = (a_i * (xxhash64(x) mod p) +
+    b_i) mod p over the Mersenne prime p = 2^31-1, with a_i, b_i
+    derived from xxhash64 of the permutation index — no RNG state,
+    identical on any executor/partitioning.  Everything is built-in
+    expressions: shingling via sequence+transform, signatures via
+    explode + groupBy(min per permutation) — one shuffle.
+    """
+    perms = [
+        (
+            F.pmod(F.xxhash64(F.lit(f"minhash-a-{i}")), F.lit(_MERSENNE - 1)) + 1,
+            F.pmod(F.xxhash64(F.lit(f"minhash-b-{i}")), F.lit(_MERSENNE)),
+        )
+        for i in range(N_PERM)
+    ]
+    sh = docs.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+                    ),
+                    lambda i: F.col("text").substr(i, F.lit(k)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(N_PERM)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banding: split the signature into N_BANDS bands, hash each band,
+    equi-join docs sharing any (band_idx, band_hash) bucket.  Estimated
+    jaccard = fraction of agreeing signature positions."""
+    rows = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(N_PERM)
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register("dedup_minhash")  # ⊘ rows-only (hash family engine-specific)
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (the scale path for dedup_ngram:
+    cost drops from |pairs sharing a shingle| to |pairs sharing a
+    band bucket|).  pytest checks recall vs the exact-jaccard oracle."""
+    d = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(d)).filter(
+        F.col("est_jaccard") >= 0.3
+    )
+
+
+@register("dedup_simhash")  # ⊘ rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit signature = sign-aggregated token-hash
+    bits; candidates share one of 4 8-bit chunks (≤3-bit hamming pairs
+    are guaranteed caught at 4 chunks).  Pure bit arithmetic on
+    higher-order array functions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1)
+    # is positive; bit positions are Python-side constants (unrolled).
+    sig = None
+    for b in range(32):
+        mask = 1 << b
+
+        def vote_fn(acc, hsh, _mask=mask):
+            return acc + F.when(hsh.bitwiseAND(F.lit(_mask)) != 0, 1).otherwise(-1)
+
+        vote = F.aggregate(th, F.lit(0), lambda acc, hsh: vote_fn(acc, hsh, mask))
+        bit = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    sigs = d.filter(F.trim("text") != "").select("doc_id", sig.alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright("simhash", c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = None
+    for bit in range(32):
+        one = F.shiftright(xor, bit).bitwiseAND(F.lit(1)).cast("int")
+        hamming = one if hamming is None else hamming + one
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
