@@ -1,0 +1,68 @@
+"""Hot-conversation skew handling (SURVEY.md §4.3; BASELINE.json:14
+"skew handled explicitly").
+
+Two passes:
+1. diagnose: cheap ``groupBy(conv_id).count()`` + percentile → the
+   hot list (count > α·p999), collected to the driver and broadcast
+   (it is tiny by construction — the tail of a Zipf).
+2. apply: hot conversations get a salt
+   ``pmod(xxhash64(conv_id, floor(turn_idx / B)), S)`` appended to the
+   partition key, splitting a whale conversation into S fragments of
+   ~B consecutive turns.  Safe for per-turn operators (the tagger);
+   order within a fragment is restored by sortWithinPartitions.
+   Window-crossing stages use overlap-emission + dedup instead
+   (kg/cooccur.py handles fragments by repartitioning on conv_id).
+
+AQE's skew-join split covers *joins* only — groupBy/window/UDF skew
+is ours to handle, hence this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SALT_BUCKETS = 16
+TURNS_PER_FRAGMENT = 256
+
+
+def hot_conversations(
+    transcripts: DataFrame, alpha: float = 4.0, min_turns: int = 1024
+) -> list[str]:
+    """conv_ids whose turn count exceeds max(α·p99.9, min_turns)."""
+    counts = transcripts.groupBy("conv_id").agg(F.count("*").alias("n"))
+    p999 = counts.agg(
+        F.expr("percentile_approx(n, 0.999, 1000)").alias("p")
+    ).collect()[0]["p"]
+    threshold = max(alpha * float(p999 or 0), float(min_turns))
+    hot = counts.filter(F.col("n") > threshold).select("conv_id").collect()
+    return [r["conv_id"] for r in hot]
+
+
+def with_salt(
+    df: DataFrame,
+    hot: list[str],
+    buckets: int = SALT_BUCKETS,
+    fragment: int = TURNS_PER_FRAGMENT,
+) -> DataFrame:
+    """Add a ``salt`` column: 0 for cold convs; hot convs fragment by
+    consecutive turn blocks (pure function of the row — deterministic
+    under retries)."""
+    is_hot = F.col("conv_id").isin(hot) if hot else F.lit(False)
+    salt = F.when(
+        is_hot,
+        F.pmod(
+            F.xxhash64("conv_id", F.floor(F.col("turn_idx") / fragment)),
+            F.lit(buckets),
+        ),
+    ).otherwise(F.lit(0))
+    return df.withColumn("salt", salt.cast("int"))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Diagnose + apply + repartition on (conv_id, salt)."""
+    hot = hot_conversations(df)
+    return (
+        with_salt(df, hot)
+        .repartition(num_partitions, "conv_id", "salt")
+        .drop("salt")
+    )

@@ -1,0 +1,157 @@
+"""Distributed mention tagger — the engine's stage 4 (SURVEY.md §3.2).
+
+``tag_mentions`` is the one entry point: transcripts DataFrame →
+mentions DataFrame.  The Python boundary is a single iterator-form
+``mapInPandas`` (operator U2): weights are deserialized from the
+broadcast ONCE per task, every Arrow batch is tagged with the batched
+numpy BiLSTM-CRF (C2–C8 fused), and one output row is emitted per
+mention.  No per-row Python anywhere (BASELINE.json:15).
+
+Scale design:
+- layout: ``repartition(N, salt(conv_id))`` then
+  ``sortWithinPartitions(conv_id, turn_idx)`` — the O2 ordering
+  invariant; salting splits hot conversations (safe: tagging is
+  per-turn) via ner_spark.kg.skew.
+- the UDF emits a narrow schema (no ``text``) so the biggest column
+  dies at the tagger boundary (column pruning can't see through a
+  UDF, so we prune by hand).
+- mention_id = xxhash64(conv_id, turn_idx, start, end) — a pure
+  function of data, stable under retries/partitioning (never
+  monotonically_increasing_id).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ner_spark.fixtures.gazetteer import GAZETTEER
+from ner_spark.ner import model_np as M
+from ner_spark.ner.decode import BIO_TAGS, decode_bio
+from ner_spark.ner.train_np import load_or_train
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("score", T.FloatType(), False),
+    ]
+)
+
+_UDF_BATCH = 512  # numpy mini-batch inside each Arrow batch
+
+
+def _gazetteer_index() -> dict[str, list[tuple[str, str]]]:
+    """first-char → [(surface, label)] sorted longest-first, for
+    deterministic maximal-munch scanning."""
+    idx: dict[str, list[tuple[str, str]]] = {}
+    for surface, label in GAZETTEER:
+        idx.setdefault(surface[0], []).append((surface, label))
+    for k in idx:
+        idx[k].sort(key=lambda p: (-len(p[0]), p[0]))
+    return idx
+
+
+def gazetteer_spans(text: str, idx) -> list[tuple[int, int, str, str]]:
+    """Left-to-right longest-match scan (independent of the fixture
+    generator's template splicer — the two agreeing is a real check)."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        cands = idx.get(text[i])
+        matched = False
+        if cands:
+            for surface, label in cands:
+                if text.startswith(surface, i):
+                    out.append((i, i + len(surface), surface, label))
+                    i += len(surface)
+                    matched = True
+                    break
+        if not matched:
+            i += 1
+    return out
+
+
+def tag_pdf_batch(
+    texts: list[str], params: dict, vocab: dict[str, int]
+) -> list[list[tuple[int, int, str, str, float]]]:
+    """Model-mode tagging of a list of texts → per-text span lists.
+    Deterministic regardless of batch composition (per-row matmul
+    results don't depend on batch size — property-tested)."""
+    out: list[list] = [[] for _ in texts]
+    todo = [(i, list(t)) for i, t in enumerate(texts) if t]
+    for lo in range(0, len(todo), _UDF_BATCH):
+        chunk = todo[lo : lo + _UDF_BATCH]
+        ids, lengths = M.encode_batch([c for _, c in chunk], vocab)
+        emit = M.emissions(ids, lengths, params)
+        paths = M.viterbi_batch(emit, lengths, params["trans"])
+        for (row_i, chars), path in zip(chunk, paths):
+            tags = [BIO_TAGS[k] for k in path]
+            for s, e, lab in decode_bio(tags):
+                surface = "".join(chars[s:e])
+                out[row_i].append((s, e, surface, lab, 1.0))
+    return out
+
+
+def _tagger_fn(mode: str):
+    """Iterator mapInPandas closure: init once per task, then stream
+    Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "model":
+            params, vocab = load_or_train()
+        else:
+            idx = _gazetteer_index()
+        cols = [f.name for f in MENTION_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            texts = pdf["text"].tolist()
+            if mode == "model":
+                span_lists = tag_pdf_batch(texts, params, vocab)
+            else:
+                span_lists = [
+                    [(s, e, surf, lab, 1.0) for s, e, surf, lab in gazetteer_spans(t, idx)]
+                    for t in texts
+                ]
+            for (conv_id, turn_idx), spans in zip(
+                zip(pdf["conv_id"], pdf["turn_idx"]), span_lists
+            ):
+                for s, e, surf, lab, score in spans:
+                    rows.append((conv_id, int(turn_idx), s, e, surf, lab, score))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def tag_mentions(
+    transcripts: DataFrame,
+    mode: str = "model",
+    num_partitions: int | None = None,
+    salt_hot: bool = False,
+) -> DataFrame:
+    """transcripts → mentions (with stable mention_id).
+
+    ``salt_hot=True`` runs the two-pass hot-conversation salting
+    (ner_spark.kg.skew) before the layout repartition.
+    """
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    parts = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
+    if salt_hot:
+        from ner_spark.kg.skew import salted_repartition
+
+        df = salted_repartition(df, parts)
+    else:
+        df = df.repartition(parts, "conv_id")
+    df = df.sortWithinPartitions("conv_id", "turn_idx")
+    mentions = df.mapInPandas(_tagger_fn(mode), MENTION_SCHEMA)
+    return mentions.withColumn(
+        "mention_id", F.xxhash64("conv_id", "turn_idx", "start", "end")
+    )

@@ -1,9 +1,69 @@
-"""KG-pipeline queries for the driver gate (filled in as stages land).
+"""KG-pipeline queries for the driver gate (rows-only ⊘: the pipeline
+is not ANSI-SQL-expressible over the pre-registered views — the driver
+records row-count/schema stability; exactness is pytest-enforced
+against the single-process oracle and golden fixtures).
 
-The transcripts table is synthesized deterministically from the
-driver's sf parquet (see ner_spark.fixtures), so these run on any
-sf_dir; they are rows-only checks (⊘) because the pipeline is not
-ANSI-SQL-expressible over the pre-registered views.
+Transcripts are synthesized deterministically from the sf_dir's
+``documents`` row count (ner_spark.pipeline.transcripts_for_sf), so
+each query is a fixed function of sf_dir.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ner_spark.ops import register
+
+_CAP = 300  # conversations per query run — keeps the driver gate fast
+
+
+def _transcripts(spark, sf_dir):
+    from ner_spark.pipeline import transcripts_for_sf
+
+    return transcripts_for_sf(spark, sf_dir, cap=_CAP)
+
+
+@register("kg_mentions")  # ⊘
+def kg_mentions(spark, sf_dir):
+    """Stage 4: BiLSTM-CRF mapInPandas tagger output (PER/LOC/ORG
+    spans with stable mention ids)."""
+    from ner_spark.ner.tagger import tag_mentions
+
+    return tag_mentions(_transcripts(spark, sf_dir), mode="model")
+
+
+@register("kg_mentions_gazetteer")  # ⊘
+def kg_mentions_gazetteer(spark, sf_dir):
+    """Stage 4 alternate: deterministic maximal-munch gazetteer matcher
+    through the same mapInPandas path."""
+    from ner_spark.ner.tagger import tag_mentions
+
+    return tag_mentions(_transcripts(spark, sf_dir), mode="gazetteer")
+
+
+@register("kg_triples")  # ⊘
+def kg_triples(spark, sf_dir):
+    """Stages 4+6: tag → co-occurrence triples (pinned predicate rule)."""
+    from ner_spark.pipeline import run_pipeline
+
+    t = _transcripts(spark, sf_dir)
+    return run_pipeline(spark, t, mode="model")["triples"]
+
+
+@register("kg_triple_stats")  # ⊘
+def kg_triple_stats(spark, sf_dir):
+    """Aggregated triple distribution — a compact, shape-stable view
+    of the whole slice (pred class × type pair counts)."""
+    from ner_spark.pipeline import run_pipeline
+
+    t = _transcripts(spark, sf_dir)
+    triples = run_pipeline(spark, t, mode="model")["triples"]
+    pred_class = F.when(
+        F.col("pred").isin("co_occurs", "same_context"), F.col("pred")
+    ).otherwise(F.lit("lexical"))
+    return (
+        triples.groupBy(
+            pred_class.alias("pred_class"), "subj_type", "obj_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )

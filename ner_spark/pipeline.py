@@ -1,0 +1,46 @@
+"""End-to-end pipeline composition (SURVEY.md §3.2) and the driver's
+flagship entry.
+
+The transcripts input is synthesized deterministically from the
+driver's parquet (conversation count and seeding derived from the
+``documents`` table — no external data), then flows through the real
+stages: layout → tagger (mapInPandas BiLSTM-CRF) → co-occurrence
+triples → (linking → CC → materialize, as stages land).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ner_spark.fixtures.transcripts import transcripts_df
+from ner_spark.io.read import table
+from ner_spark.kg.cooccur import extract_triples
+from ner_spark.ner.tagger import tag_mentions
+
+
+def transcripts_for_sf(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """Deterministic transcripts sized from the sf documents table:
+    one conversation per document row (pure function of the ordinal),
+    so every sf tier yields a fixed, regenerable corpus."""
+    n_docs = table(spark, sf_dir, "documents").count()
+    n_convs = min(n_docs, cap) if cap else n_docs
+    return transcripts_df(spark, n_convs)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    mode: str = "model",
+    salt_hot: bool = False,
+) -> dict[str, DataFrame]:
+    mentions = tag_mentions(transcripts, mode=mode, salt_hot=salt_hot)
+    triples = extract_triples(mentions, transcripts)
+    return {"mentions": mentions, "triples": triples}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver smoke query: full tag→triples slice; returns triples."""
+    t = transcripts_for_sf(spark, sf_dir, cap=500)
+    return run_pipeline(spark, t, mode="model")["triples"]

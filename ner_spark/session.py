@@ -35,6 +35,15 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle = shuffle_partitions or max(2 * cores, 8)
+    # Make the package importable in executor Python workers no matter
+    # where the driver process runs (the sandbox analog of shipping
+    # ``--py-files ner_spark.zip`` on a real cluster).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior = os.environ.get("PYTHONPATH", "")
+    if repo_root not in prior.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{prior}" if prior else repo_root
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
