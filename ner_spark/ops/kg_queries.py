@@ -50,6 +50,53 @@ def kg_triples(spark, sf_dir):
     return run_pipeline(spark, t, mode="model")["triples"]
 
 
+@register("kg_match_edges")  # ⊘
+def kg_match_edges(spark, sf_dir):
+    """Stages 7–8: MinHash-LSH blocking + JVM pairwise scoring over
+    the distinct surface vocabulary."""
+    from ner_spark.kg.linking import match_edges, surface_nodes
+    from ner_spark.ner.tagger import tag_mentions
+
+    nodes = surface_nodes(tag_mentions(_transcripts(spark, sf_dir), mode="model"))
+    return match_edges(nodes)
+
+
+@register("kg_cc_components")  # ⊘
+def kg_cc_components(spark, sf_dir):
+    """Stage 9: large-star/small-star connected components over the
+    match-edge graph (driver convergence loop + localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.kg.cc import connected_components
+    from ner_spark.kg.linking import match_edges, surface_nodes
+    from ner_spark.ner.tagger import tag_mentions
+
+    nodes = surface_nodes(tag_mentions(_transcripts(spark, sf_dir), mode="model"))
+    edges = match_edges(nodes).select(
+        F.col("node_a").alias("src"), F.col("node_b").alias("dst")
+    )
+    return connected_components(edges)
+
+
+@register("kg_entities")  # ⊘
+def kg_entities(spark, sf_dir):
+    """Stage 10: canonical entity nodes (CC component id, most-frequent
+    surface, mention counts)."""
+    from ner_spark.pipeline import run_pipeline
+
+    t = _transcripts(spark, sf_dir)
+    return run_pipeline(spark, t, mode="model", materialize=True)["entities"]
+
+
+@register("kg_edges")  # ⊘
+def kg_edges(spark, sf_dir):
+    """Stage 10: weighted entity-level predicate edges."""
+    from ner_spark.pipeline import run_pipeline
+
+    t = _transcripts(spark, sf_dir)
+    return run_pipeline(spark, t, mode="model", materialize=True)["edges"]
+
+
 @register("kg_triple_stats")  # ⊘
 def kg_triple_stats(spark, sf_dir):
     """Aggregated triple distribution — a compact, shape-stable view

@@ -34,10 +34,25 @@ def run_pipeline(
     transcripts: DataFrame,
     mode: str = "model",
     salt_hot: bool = False,
+    materialize: bool = False,
 ) -> dict[str, DataFrame]:
+    """Stages 3–10.  ``materialize=True`` adds linking + CC + the
+    node/edge tables (iterative stages — driver loop inside)."""
     mentions = tag_mentions(transcripts, mode=mode, salt_hot=salt_hot)
     triples = extract_triples(mentions, transcripts)
-    return {"mentions": mentions, "triples": triples}
+    out = {"mentions": mentions, "triples": triples}
+    if materialize:
+        from ner_spark.kg.materialize import (
+            build_edges,
+            build_entities,
+            entity_assignments,
+        )
+
+        assignments = entity_assignments(mentions)
+        out["assignments"] = assignments
+        out["entities"] = build_entities(mentions, assignments)
+        out["edges"] = build_edges(triples, assignments)
+    return out
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
