@@ -1,0 +1,158 @@
+"""Stage lineage + idempotent resume (BASELINE.json:6 — "every stage
+checkpoints per-partition lineage and counters … so any executor
+failure resumes idempotently from the last committed snapshot").
+
+Production design: Iceberg tables with atomic snapshot commits; the
+lineage row commits in the same transaction as the data.  The sandbox
+has no Iceberg runtime jar (no network — SURVEY.md §0), so this module
+implements the documented parquet fallback behind the same interface:
+
+- data writes are PARTITION-ALIGNED: each stage output is written as
+  hive-partitioned parquet ``part=<bucket>`` with
+  ``partitionOverwriteMode=dynamic`` (replaceWhere-style) so a re-run
+  overwrites exactly the buckets it recomputes — idempotent under
+  retries;
+- the lineage row for a bucket is written AFTER its data lands (write
+  ordering = commit protocol: a bucket is committed iff its lineage
+  row exists and round-trips the checksum);
+- resume = anti-join (operator J6) of the input's buckets against
+  committed lineage buckets — only missing buckets recompute, and
+  partition pruning keeps committed buckets unread.
+
+Bucketing is ``pmod(xxhash64(conv_id), n_buckets)`` — a pure function
+of the row, stable under retries and repartitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_BUCKETS = 32
+LINEAGE_TABLE = "_lineage"
+
+
+def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "part", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _lineage_dir(root: str, stage: str) -> str:
+    return os.path.join(root, LINEAGE_TABLE, stage)
+
+
+def committed_buckets(spark: SparkSession, root: str, stage: str) -> list[int]:
+    d = _lineage_dir(root, stage)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                rec = json.load(f)
+            out.append(int(rec["part"]))
+    return out
+
+
+def read_lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    """Lineage as a DataFrame (stage, part, input_rows, output_rows,
+    checksum, committed_at) — the J6 anti-join side."""
+    d = _lineage_dir(root, stage)
+    recs = []
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    recs.append(json.load(f))
+    return spark.createDataFrame(
+        recs or [],
+        "stage string, part int, input_rows long, output_rows long, "
+        "checksum long, committed_at double",
+    )
+
+
+def commit_stage(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    n_buckets: int = N_BUCKETS,
+    resume: bool = True,
+) -> DataFrame:
+    """Write ``df`` (must contain conv_id) partition-aligned with
+    per-bucket lineage; on resume, skip already-committed buckets.
+
+    Returns the full committed stage output (read back — committed
+    buckets included), so downstream stages always see the complete
+    table regardless of how much this run recomputed."""
+    spark = df.sparkSession
+    data_dir = os.path.join(root, stage)
+    done = set(committed_buckets(spark, root, stage)) if resume else set()
+    bucketed = with_bucket(df, n_buckets)
+    todo = bucketed.filter(~F.col("part").isin(sorted(done))) if done else bucketed
+
+    # per-bucket counters + checksum in ONE pass over the recomputed data
+    stats = (
+        todo.groupBy("part")
+        .agg(
+            F.count("*").alias("output_rows"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*[c for c in df.columns])), F.lit(0)
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo.write.partitionBy("part").mode("overwrite").parquet(data_dir)
+
+    os.makedirs(_lineage_dir(root, stage), exist_ok=True)
+    for r in stats:
+        rec = {
+            "stage": stage,
+            "part": int(r["part"]),
+            "input_rows": int(r["output_rows"]),
+            "output_rows": int(r["output_rows"]),
+            "checksum": int(r["checksum"]),
+            "committed_at": time.time(),
+        }
+        path = os.path.join(_lineage_dir(root, stage), f"part-{rec['part']:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)  # atomic rename = the commit point
+
+    return spark.read.parquet(data_dir).drop("part")
+
+
+def validate_stage(spark: SparkSession, root: str, stage: str) -> bool:
+    """Re-checksum committed data against lineage (detects torn
+    writes: data without lineage is recomputed, lineage without data
+    fails validation)."""
+    data_dir = os.path.join(root, stage)
+    if not os.path.isdir(data_dir):
+        return not committed_buckets(spark, root, stage)
+    lineage = read_lineage(spark, root, stage).alias("l")
+    cols = [
+        c for c in spark.read.parquet(data_dir).columns if c != "part"
+    ]
+    actual = (
+        spark.read.parquet(data_dir)
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("cs"),
+        )
+        .alias("a")
+    )
+    bad = actual.join(
+        lineage, F.col("a.part") == F.col("l.part"), "full"
+    ).filter(
+        F.col("a.part").isNull()
+        | F.col("l.part").isNull()
+        | (F.col("a.cs") != F.col("l.checksum"))
+        | (F.col("a.rows") != F.col("l.output_rows"))
+    )
+    return bad.count() == 0

@@ -26,14 +26,29 @@ TURNS_PER_FRAGMENT = 256
 
 
 def hot_conversations(
-    transcripts: DataFrame, alpha: float = 4.0, min_turns: int = 1024
+    transcripts: DataFrame,
+    alpha: float = 4.0,
+    min_turns: int = 1024,
+    adaptive: bool = False,
 ) -> list[str]:
-    """conv_ids whose turn count exceeds max(α·p99.9, min_turns)."""
+    """conv_ids whose turn count exceeds the hot threshold.
+
+    Default: fixed threshold ``min_turns`` — ONE job (groupBy+filter+
+    collect), the filter fused into the aggregate's reduce side.
+    ``adaptive=True`` adds a percentile_approx pass so the threshold
+    tracks the distribution (max(α·p99.9, min_turns)); costs a second
+    job + sketch merge, only worth it when the turn distribution is
+    unknown."""
     counts = transcripts.groupBy("conv_id").agg(F.count("*").alias("n"))
-    p999 = counts.agg(
-        F.expr("percentile_approx(n, 0.999, 1000)").alias("p")
-    ).collect()[0]["p"]
-    threshold = max(alpha * float(p999 or 0), float(min_turns))
+    threshold = float(min_turns)
+    if adaptive:
+        counts = counts.localCheckpoint(eager=True)  # reused by 2 jobs
+        # sketch accuracy must beat n_groups/hot_rank or the rank error
+        # swallows the tail and reports the max as p999
+        p999 = counts.agg(
+            F.expr("percentile_approx(n, 0.999, 5000)").alias("p")
+        ).collect()[0]["p"]
+        threshold = max(alpha * float(p999 or 0), threshold)
     hot = counts.filter(F.col("n") > threshold).select("conv_id").collect()
     return [r["conv_id"] for r in hot]
 

@@ -46,7 +46,36 @@ MENTION_SCHEMA = T.StructType(
     ]
 )
 
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+    ]
+)
+TURN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), False),
+    ]
+)
+
 _UDF_BATCH = 512  # numpy mini-batch inside each Arrow batch
+
+# Per-process caches: Spark reuses python workers across tasks
+# (spark.python.worker.reuse), so weights deserialize once per WORKER,
+# not once per task — measured to matter once tasks shrink at high
+# parallelism.
+_MODEL_CACHE: dict = {}
+
+
+def _cached_model():
+    if "m" not in _MODEL_CACHE:
+        _MODEL_CACHE["m"] = load_or_train()
+    return _MODEL_CACHE["m"]
 
 
 def _gazetteer_index() -> dict[str, list[tuple[str, str]]]:
@@ -88,6 +117,12 @@ def tag_pdf_batch(
     results don't depend on batch size — property-tested)."""
     out: list[list] = [[] for _ in texts]
     todo = [(i, list(t)) for i, t in enumerate(texts) if t]
+    # Sort by length before chunking: each numpy mini-batch pads to its
+    # own max length, cutting padded-FLOP waste (the reference family's
+    # batch_yield sorts by length for the same reason).  Stable sort ⇒
+    # deterministic; per-row results are batch-composition independent
+    # (property-tested), so this is purely a throughput knob.
+    todo.sort(key=lambda p: len(p[1]))
     for lo in range(0, len(todo), _UDF_BATCH):
         chunk = todo[lo : lo + _UDF_BATCH]
         ids, lengths = M.encode_batch([c for _, c in chunk], vocab)
@@ -103,16 +138,17 @@ def tag_pdf_batch(
 
 def _tagger_fn(mode: str):
     """Iterator mapInPandas closure: init once per task, then stream
-    Arrow batches."""
+    Arrow batches.  Emits ONE ROW PER TURN with the span array — the
+    compact form both downstream shapes derive from (mentions =
+    explode; triples = window over per-turn arrays, no joins)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "model":
-            params, vocab = load_or_train()
+            params, vocab = _cached_model()
         else:
             idx = _gazetteer_index()
-        cols = [f.name for f in MENTION_SCHEMA.fields]
+        cols = [f.name for f in TURN_SCHEMA.fields]
         for pdf in batches:
-            rows: list[tuple] = []
             texts = pdf["text"].tolist()
             if mode == "model":
                 span_lists = tag_pdf_batch(texts, params, vocab)
@@ -121,14 +157,73 @@ def _tagger_fn(mode: str):
                     [(s, e, surf, lab, 1.0) for s, e, surf, lab in gazetteer_spans(t, idx)]
                     for t in texts
                 ]
-            for (conv_id, turn_idx), spans in zip(
-                zip(pdf["conv_id"], pdf["turn_idx"]), span_lists
-            ):
-                for s, e, surf, lab, score in spans:
-                    rows.append((conv_id, int(turn_idx), s, e, surf, lab, score))
+            rows = [
+                (
+                    conv_id,
+                    int(turn_idx),
+                    text,
+                    [
+                        {"start": s, "end": e, "surface": surf, "label": lab}
+                        for s, e, surf, lab, _score in spans
+                    ],
+                )
+                for conv_id, turn_idx, text, spans in zip(
+                    pdf["conv_id"], pdf["turn_idx"], texts, span_lists
+                )
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return fn
+
+
+def tag_turns(
+    transcripts: DataFrame,
+    mode: str = "model",
+    num_partitions: int | None = None,
+    salt_hot: bool = False,
+) -> DataFrame:
+    """transcripts → one row per turn with its span array.
+
+    ``salt_hot=True`` runs the two-pass hot-conversation salting
+    (ner_spark.kg.skew) before the layout repartition.
+    """
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    # 4 tasks per core: conversation sizes are Zipf, so 1-task-per-core
+    # leaves a straggler tail (measured ~30% idle time); finer tasks
+    # let the scheduler rebalance.
+    parts = num_partitions or (
+        4 * transcripts.sparkSession.sparkContext.defaultParallelism
+    )
+    if salt_hot:
+        from ner_spark.kg.skew import salted_repartition
+
+        df = salted_repartition(df, parts)
+    else:
+        df = df.repartition(parts, "conv_id")
+    df = df.sortWithinPartitions("conv_id", "turn_idx")
+    return df.mapInPandas(_tagger_fn(mode), TURN_SCHEMA)
+
+
+def mentions_from_turns(tagged_turns: DataFrame) -> DataFrame:
+    """Per-turn span arrays → one row per mention with stable
+    mention_id = xxhash64(conv_id, turn_idx, start, end)."""
+    return (
+        tagged_turns.select(
+            "conv_id", "turn_idx", F.explode("spans").alias("sp")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("sp.start").alias("start"),
+            F.col("sp.end").alias("end"),
+            F.col("sp.surface").alias("surface"),
+            F.col("sp.label").alias("label"),
+            F.lit(1.0).cast("float").alias("score"),
+        )
+        .withColumn(
+            "mention_id", F.xxhash64("conv_id", "turn_idx", "start", "end")
+        )
+    )
 
 
 def tag_mentions(
@@ -137,21 +232,7 @@ def tag_mentions(
     num_partitions: int | None = None,
     salt_hot: bool = False,
 ) -> DataFrame:
-    """transcripts → mentions (with stable mention_id).
-
-    ``salt_hot=True`` runs the two-pass hot-conversation salting
-    (ner_spark.kg.skew) before the layout repartition.
-    """
-    df = transcripts.select("conv_id", "turn_idx", "text")
-    parts = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
-    if salt_hot:
-        from ner_spark.kg.skew import salted_repartition
-
-        df = salted_repartition(df, parts)
-    else:
-        df = df.repartition(parts, "conv_id")
-    df = df.sortWithinPartitions("conv_id", "turn_idx")
-    mentions = df.mapInPandas(_tagger_fn(mode), MENTION_SCHEMA)
-    return mentions.withColumn(
-        "mention_id", F.xxhash64("conv_id", "turn_idx", "start", "end")
+    """transcripts → mentions (explode of tag_turns)."""
+    return mentions_from_turns(
+        tag_turns(transcripts, mode, num_partitions, salt_hot)
     )

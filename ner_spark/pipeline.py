@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ner_spark.fixtures.transcripts import transcripts_df
 from ner_spark.io.read import table
 from ner_spark.kg.cooccur import extract_triples
-from ner_spark.ner.tagger import tag_mentions
+from ner_spark.ner.tagger import mentions_from_turns, tag_turns
 
 
 def transcripts_for_sf(
@@ -38,9 +38,10 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Stages 3–10.  ``materialize=True`` adds linking + CC + the
     node/edge tables (iterative stages — driver loop inside)."""
-    mentions = tag_mentions(transcripts, mode=mode, salt_hot=salt_hot)
-    triples = extract_triples(mentions, transcripts)
-    out = {"mentions": mentions, "triples": triples}
+    tagged = tag_turns(transcripts, mode=mode, salt_hot=salt_hot)
+    mentions = mentions_from_turns(tagged)
+    triples = extract_triples(tagged)
+    out = {"tagged_turns": tagged, "mentions": mentions, "triples": triples}
     if materialize:
         from ner_spark.kg.materialize import (
             build_edges,

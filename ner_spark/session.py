@@ -35,6 +35,14 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle = shuffle_partitions or max(2 * cores, 8)
+    # Single-threaded BLAS in every process that inherits this env —
+    # in local mode spark.executorEnv does NOT reach python workers;
+    # they inherit the JVM env, which inherits this driver process, so
+    # set it here BEFORE the JVM launches.  One worker per core times
+    # one BLAS thread each; anything else thrashes (measured: 32
+    # workers x default OpenBLAS threads flatlines scaling).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # Make the package importable in executor Python workers no matter
     # where the driver process runs (the sandbox analog of shipping
     # ``--py-files ner_spark.zip`` on a real cluster).

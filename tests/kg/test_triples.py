@@ -11,7 +11,7 @@ import pytest
 from ner_spark.fixtures.transcripts import transcripts_df, transcripts_pdf
 from ner_spark.kg.cooccur import CROSS_TURN_WINDOW, MAX_GAP, MAX_PRED_LEN, extract_triples
 from ner_spark.ner.oracle import oracle_mentions
-from ner_spark.ner.tagger import tag_mentions
+from ner_spark.ner.tagger import tag_turns
 
 N_CONVS = 80
 KEY = ["conv_id", "turn_idx", "subj", "pred", "obj", "subj_type", "obj_type"]
@@ -66,15 +66,15 @@ def expected():
 
 def test_triples_match_reference_rule(spark, expected):
     t = transcripts_df(spark, N_CONVS)
-    m = tag_mentions(t, mode="gazetteer")
-    got = _norm(extract_triples(m, t).toPandas())
+    tagged = tag_turns(t, mode="gazetteer")
+    got = _norm(extract_triples(tagged).toPandas())
     pd.testing.assert_frame_equal(got, expected)
 
 
 def test_triples_partition_invariance(spark, expected):
     t = transcripts_df(spark, N_CONVS, partitions=7)
-    m = tag_mentions(t, mode="gazetteer", num_partitions=3)
-    got = _norm(extract_triples(m, t).toPandas())
+    tagged = tag_turns(t, mode="gazetteer", num_partitions=3)
+    got = _norm(extract_triples(tagged).toPandas())
     pd.testing.assert_frame_equal(got, expected)
 
 

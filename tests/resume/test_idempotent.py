@@ -1,0 +1,91 @@
+"""Resume/idempotency tests (SURVEY.md §5.2 item 6; FIXTURES.md §5):
+partial-failure restart recomputes only missing buckets and yields
+identical tables; duplicate input rows dedup deterministically."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from ner_spark.checkpoint.lineage import committed_buckets, read_lineage, validate_stage
+from ner_spark.checkpoint.resume import run_resumable, validate_all
+from ner_spark.fixtures.transcripts import transcripts_df
+
+N_CONVS = 60
+KEY = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+
+
+def _triples_pdf(out) -> pd.DataFrame:
+    df = out["triples"].toPandas()[KEY]
+    return df.sort_values(KEY).reset_index(drop=True)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "kg_root")
+
+
+def test_full_run_then_noop_resume(spark, root):
+    t = transcripts_df(spark, N_CONVS)
+    first = _triples_pdf(run_resumable(spark, t, root, mode="gazetteer"))
+    assert validate_all(spark, root) == {
+        "tagged_turns": True,
+        "mentions": True,
+        "triples": True,
+    }
+    lineage_before = read_lineage(spark, root, "triples").toPandas()
+    again = _triples_pdf(run_resumable(spark, t, root, mode="gazetteer"))
+    pd.testing.assert_frame_equal(first, again)
+    lineage_after = read_lineage(spark, root, "triples").toPandas()
+    # no bucket recommitted on the no-op resume
+    pd.testing.assert_frame_equal(
+        lineage_before.sort_values("part").reset_index(drop=True)[
+            ["part", "output_rows", "checksum"]
+        ],
+        lineage_after.sort_values("part").reset_index(drop=True)[
+            ["part", "output_rows", "checksum"]
+        ],
+    )
+
+
+def test_partial_failure_resume(spark, root):
+    t = transcripts_df(spark, N_CONVS)
+    gold = _triples_pdf(run_resumable(spark, t, root, mode="gazetteer"))
+
+    # simulate a crash after stage "tagged_turns": wipe triples +
+    # mentions data AND lineage, plus drop TWO triples lineage buckets
+    # of a fresh half-committed copy
+    shutil.rmtree(os.path.join(root, "triples"))
+    shutil.rmtree(os.path.join(root, "_lineage", "triples"))
+    out = run_resumable(spark, t, root, mode="gazetteer")
+    pd.testing.assert_frame_equal(gold, _triples_pdf(out))
+
+    # now drop individual lineage buckets (torn commit): those buckets
+    # must recompute, the rest untouched
+    lineage_files = sorted(
+        glob.glob(os.path.join(root, "_lineage", "triples", "*.json"))
+    )
+    assert len(lineage_files) >= 3
+    for f in lineage_files[:2]:
+        os.remove(f)
+    before = set(committed_buckets(spark, root, "triples"))
+    out = run_resumable(spark, t, root, mode="gazetteer")
+    after = set(committed_buckets(spark, root, "triples"))
+    assert before < after
+    pd.testing.assert_frame_equal(gold, _triples_pdf(out))
+    assert validate_stage(spark, root, "triples")
+
+
+def test_duplicate_input_rows_dedup(spark, root):
+    """At-least-once source: injected duplicate (conv_id, turn_idx)
+    rows must not duplicate mentions/triples."""
+    t = transcripts_df(spark, N_CONVS)
+    gold = _triples_pdf(run_resumable(spark, t, root, mode="gazetteer"))
+    shutil.rmtree(root)
+    dup = t.unionByName(t.limit(40))
+    got = _triples_pdf(run_resumable(spark, dup, root, mode="gazetteer"))
+    pd.testing.assert_frame_equal(gold, got)
