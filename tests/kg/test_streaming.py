@@ -70,6 +70,45 @@ def test_session_parity(spark, transcript_files, tmp_path):
     )
 
 
+def test_stateful_conversation_progress(spark, transcript_files, tmp_path):
+    """X6: final per-conversation state equals the batch ground truth."""
+    stream = face.stream_transcripts(spark, transcript_files)
+    q = (
+        face.conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per conv = final state
+    got = (
+        spark.sql("SELECT * FROM progress")
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_turns_seen").alias("n_turns_seen"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+        )
+        .toPandas()
+    )
+    exp = (
+        spark.read.parquet(transcript_files)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns_seen"),
+            F.max("turn_idx").cast("long").alias("max_turn_idx"),
+        )
+        .toPandas()
+    )
+    key = "conv_id"
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_stream_to_committed_mentions(spark, transcript_files, tmp_path):
     """File stream (with injected duplicates) → dedup → tagger →
     commit_stage per micro-batch; union of committed batches equals

@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the optimizations the 100 TB story
+depends on must be visible in .explain — predicate pushdown reaches
+the parquet scan, projections prune columns, join strategies are the
+intended ones, and the zero-join triples plan has exactly one
+exchange and no join operators (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ner_spark.fixtures.transcripts import transcripts_df
+from ner_spark.kg.cooccur import extract_triples
+from ner_spark.ner.tagger import tag_turns
+from ner_spark.ops import all_queries
+from tests.conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["filter_pred"](spark, SF_ORACLE))
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus", plan), plan[:2000]
+
+
+def test_column_pruning(spark):
+    plan = _plan(QUERIES["project_expr"](spark, SF_ORACLE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
+
+
+def test_broadcast_join_strategy(spark):
+    plan = _plan(QUERIES["join_broadcast"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sortmerge_join_strategy(spark):
+    plan = _plan(QUERIES["join_sortmerge"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan
+
+
+def test_shuffle_hash_join_strategy(spark):
+    plan = _plan(QUERIES["join_shufflehash"](spark, SF_ORACLE))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_triples_plan_is_join_free_single_exchange(spark):
+    t = transcripts_df(spark, 50)
+    tagged = tag_turns(t, mode="gazetteer")
+    plan = _plan(extract_triples(tagged))
+    assert "Join" not in plan, plan[:2000]
+    # exactly one exchange: the conv_id window shuffle (the tagger's
+    # own layout repartition precedes the mapInPandas barrier)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan[:3000]
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_partial_aggregation_present(spark):
+    """A1: map-side partial agg before the exchange."""
+    plan = _plan(QUERIES["agg_basic"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = QUERIES["agg_basic"](spark, SF_ORACLE)
+    df.collect()  # AQE finalizes THIS df's plan only after its own action
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators carry the `*(n)` whole-stage marker
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:2000]
+
+
+def test_pivot_no_distinct_value_job(spark):
+    """A8: pivot values enumerated — the plan is the two-aggregate
+    pivotfirst shape with NO separate distinct-values collection (an
+    un-enumerated pivot fires an eager spark job at plan time)."""
+    opt = _optimized(QUERIES["agg_pivot"](spark, SF_ORACLE))
+    assert "pivotfirst" in opt, opt[:2000]
+    assert opt.count("Aggregate [") == 2, opt[:2000]

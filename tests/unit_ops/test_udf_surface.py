@@ -1,0 +1,92 @@
+"""UDF-surface exactness (U1/U3/U4/U5) vs built-in equivalents, and
+multimodal plumbing checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ner_spark.io.read import table
+from ner_spark.ops import all_queries
+from tests.conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def test_udf_scalar_matches_builtin(spark):
+    got = QUERIES["udf_scalar"](spark, SF_ORACLE).toPandas()
+    exp = (
+        table(spark, SF_ORACLE, "documents")
+        .select("doc_id", F.length("text").alias("cp_len"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True).astype({"cp_len": "int64"}),
+        exp.sort_values("doc_id").reset_index(drop=True).astype({"cp_len": "int64"}),
+    )
+
+
+def test_udf_grouped_agg_matches_sql(spark):
+    got = QUERIES["udf_grouped_agg"](spark, SF_ORACLE).toPandas()
+    li = table(spark, SF_ORACLE, "lineitem")
+    exp = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("wavg_price")
+        )
+        .toPandas()
+    )
+    key = "l_returnflag"
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert (abs(g["wavg_price"] - e["wavg_price"]) < 1e-3).all()
+
+
+def test_udf_grouped_map_profile(spark):
+    got = QUERIES["udf_grouped_map"](spark, SF_ORACLE)
+    n_orders = (
+        table(spark, SF_ORACLE, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert got.count() == n_orders
+    row = got.filter(F.col("n_lines") > 1).first()
+    assert row["max_step"] >= 0.0
+
+
+def test_udtf_pairs_counts(spark):
+    got = QUERIES["udtf_pairs"](spark, SF_ORACLE)
+    pdf = got.groupBy("l_orderkey").count().toPandas()
+    # n names in [2,6] → C(n,2) pairs in [1,15]
+    assert pdf["count"].between(1, 15).all()
+    one = got.first()
+    assert one["a"] < one["b"]
+
+
+def test_mm_features_plumbing(spark):
+    feats = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    docs = table(spark, SF_ORACLE, "documents").count()
+    assert len(feats) == docs
+    assert set(feats["kind"]) <= {"image", "audio", "video"}
+    img = feats[feats["kind"] == "image"]
+    assert img["width"].notna().all() and img["height"].notna().all()
+    aud = feats[feats["kind"] == "audio"]
+    assert aud["width"].isna().all()
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic: rerun equals
+    again = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+
+
+def test_mm_decode_real_is_guarded():
+    import pytest
+
+    from ner_spark.ops.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"x", "image")
