@@ -21,11 +21,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor python workers via addPyFile —
+    works for ANY session (the driver's own included), regardless of
+    cwd/PYTHONPATH; the sandbox analog of ``--py-files ner_spark.zip``.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "ner_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(os.path.join(root, "ner_spark")):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in files:
+                    if fn.endswith((".py", ".npz")):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline slice over transcripts synthesized
     deterministically from sf0.001 documents — tag mentions (BiLSTM-CRF
     mapInPandas), extract co-occurrence triples, return the triples."""
+    _ensure_shipped(spark)
     from ner_spark.pipeline import flagship
 
     return flagship(spark, SF0001)
@@ -34,7 +66,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ner_spark.ops import all_queries
 
-    return all_queries()
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

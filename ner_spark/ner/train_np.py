@@ -129,12 +129,27 @@ def save(p: dict, path: str = MODEL_PATH) -> None:
 
 
 def load_or_train(path: str = MODEL_PATH) -> tuple[dict, dict[str, int]]:
-    """Load the committed frozen model; (re)train deterministically if
-    absent.  Returns (params, vocab)."""
-    if not os.path.exists(path):
-        p = train()
-        save(p, path)
-    z = np.load(path, allow_pickle=True)
+    """Load the committed frozen model; fall back to the packaged
+    resource when the package is imported from a ``--py-files`` zip
+    (no real filesystem path); (re)train deterministically only if
+    neither exists.  Returns (params, vocab)."""
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+    else:
+        import io
+        from importlib import resources
+
+        try:
+            data = (
+                resources.files("ner_spark.ner")
+                .joinpath("model_tiny.npz")
+                .read_bytes()
+            )
+            z = np.load(io.BytesIO(data), allow_pickle=True)
+        except (FileNotFoundError, ModuleNotFoundError, OSError):
+            p = train()
+            save(p, path)
+            z = np.load(path, allow_pickle=True)
     p = {k: z[k] for k in z.files}
     chars = list(p.pop("vocab_chars"))
     vocab = M.build_vocab(chars)
