@@ -40,35 +40,66 @@ def build_vocab(corpus_chars) -> dict[str, int]:
     return vocab
 
 
+def vocab_lut(vocab: dict[str, int]) -> np.ndarray:
+    """Codepoint → id lookup table (vectorized C2).  Codepoints beyond
+    the table map to <UNK> via clipping to a sentinel slot."""
+    max_cp = max((ord(ch) for ch in vocab if len(ch) == 1), default=1)
+    lut = np.full(max_cp + 2, UNK_ID, dtype=np.int32)
+    for ch, i in vocab.items():
+        if len(ch) == 1:
+            lut[ord(ch)] = i
+    lut[-1] = UNK_ID  # sentinel slot for out-of-range codepoints
+    return lut
+
+
 def encode_batch(
-    char_seqs: list[list[str]], vocab: dict[str, int]
+    char_seqs: list[list[str]],
+    vocab: dict[str, int],
+    lut: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Pad to batch max-len → (ids [B,T] int32, lengths [B] int32)."""
+    """Pad to batch max-len → (ids [B,T] int32, lengths [B] int32).
+    With a LUT, char→id is pure numpy (utf-32 decode + table gather)."""
     B = len(char_seqs)
     lengths = np.array([len(s) for s in char_seqs], dtype=np.int32)
     T = max(1, int(lengths.max()) if B else 1)
     ids = np.zeros((B, T), dtype=np.int32)
-    for i, seq in enumerate(char_seqs):
-        for j, ch in enumerate(seq):
-            ids[i, j] = vocab.get(ch, UNK_ID)
+    if lut is not None:
+        sent = lut.shape[0] - 1
+        for i, seq in enumerate(char_seqs):
+            if not seq:
+                continue
+            cps = np.frombuffer(
+                "".join(seq).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            ids[i, : len(seq)] = lut[np.minimum(cps, sent)]
+    else:
+        for i, seq in enumerate(char_seqs):
+            for j, ch in enumerate(seq):
+                ids[i, j] = vocab.get(ch, UNK_ID)
     return ids, lengths
 
 
 def _lstm_dir(x: np.ndarray, mask: np.ndarray, wx, wh, b, reverse: bool):
-    """One LSTM direction over [B,T,d] → [B,T,h]; masked at padding."""
-    B, T, _ = x.shape
+    """One LSTM direction over [B,T,d] → [B,T,h]; masked at padding.
+
+    The input projection is time-independent, so it is hoisted out of
+    the recurrence as ONE [B·T,d]@[d,4h] matmul (plus the bias); only
+    the [B,h]@[h,4h] hidden matmul stays inside the loop."""
+    B, T, d = x.shape
     h_dim = wh.shape[0]
+    xw = (x.reshape(B * T, d) @ wx + b).reshape(B, T, 4 * h_dim)
     h = np.zeros((B, h_dim), dtype=np.float32)
     c = np.zeros((B, h_dim), dtype=np.float32)
     out = np.zeros((B, T, h_dim), dtype=np.float32)
+    fmask = mask.astype(np.float32)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for t in steps:
-        g = x[:, t, :] @ wx + h @ wh + b  # [B, 4h]
+        g = xw[:, t, :] + h @ wh  # [B, 4h]
         i_g = _sigmoid(g[:, :h_dim])
         f_g = _sigmoid(g[:, h_dim : 2 * h_dim])
         c_g = np.tanh(g[:, 2 * h_dim : 3 * h_dim])
         o_g = _sigmoid(g[:, 3 * h_dim :])
-        m = mask[:, t : t + 1].astype(np.float32)
+        m = fmask[:, t : t + 1]
         c = m * (f_g * c + i_g * c_g) + (1 - m) * c
         h = m * (o_g * np.tanh(c)) + (1 - m) * h
         out[:, t, :] = h
@@ -104,30 +135,36 @@ def viterbi_batch(
     B, T, Kk = emit.shape
     A = trans[:K, :K]  # [K,K]
     delta = trans[START, :K][None, :] + emit[:, 0, :]  # [B,K]
-    backp = np.zeros((B, T, Kk), dtype=np.int32)
+    backp = np.zeros((B, T, Kk), dtype=np.int8)  # K ≤ 127
     deltas = np.zeros((B, T, Kk), dtype=emit.dtype)
     deltas[:, 0, :] = delta
+    rows = np.arange(B)
     for t in range(1, T):
         scores = delta[:, :, None] + A[None, :, :]  # [B, K_prev, K_cur]
-        backp[:, t, :] = np.argmax(scores, axis=1)
-        step = np.max(scores, axis=1) + emit[:, t, :]
+        am = np.argmax(scores, axis=1)  # [B, K_cur]
+        backp[:, t, :] = am
+        step = np.take_along_axis(scores, am[:, None, :], axis=1)[
+            :, 0, :
+        ] + emit[:, t, :]
         # frozen past end-of-sentence; real rows advance
-        active = (np.arange(T)[t] < lengths)[:, None]
+        active = (t < lengths)[:, None]
         delta = np.where(active, step, delta)
         deltas[:, t, :] = delta
+    # vectorized backtrack across the batch
+    last = np.maximum(lengths - 1, 0)
+    final = deltas[rows, last, :] + trans[:K, STOP][None, :]
+    ks = np.argmax(final, axis=1).astype(np.int64)  # [B]
+    path_mat = np.zeros((B, T), dtype=np.int64)
+    path_mat[rows, last] = ks
+    for t in range(T - 1, 0, -1):
+        # rows whose sentence includes step t: position t-1 follows the
+        # backpointer of the (already-final) state at position t
+        upd = t <= last
+        path_mat[upd, t - 1] = backp[upd, t, path_mat[upd, t]]
     paths: list[list[int]] = []
     for b in range(B):
         L = int(lengths[b])
-        if L == 0:
-            paths.append([])
-            continue
-        final = deltas[b, L - 1, :] + trans[:K, STOP]
-        k = int(np.argmax(final))
-        rev = [k]
-        for t in range(L - 1, 0, -1):
-            k = int(backp[b, t, k])
-            rev.append(k)
-        paths.append(rev[::-1])
+        paths.append(path_mat[b, :L].tolist())
     return paths
 
 

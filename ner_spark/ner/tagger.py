@@ -78,6 +78,16 @@ def _cached_model():
     return _MODEL_CACHE["m"]
 
 
+_LUT_CACHE: dict[int, "object"] = {}
+
+
+def _lut_for(vocab: dict[str, int]):
+    key = id(vocab)
+    if key not in _LUT_CACHE:
+        _LUT_CACHE[key] = M.vocab_lut(vocab)
+    return _LUT_CACHE[key]
+
+
 def _gazetteer_index() -> dict[str, list[tuple[str, str]]]:
     """first-char → [(surface, label)] sorted longest-first, for
     deterministic maximal-munch scanning."""
@@ -116,6 +126,7 @@ def tag_pdf_batch(
     Deterministic regardless of batch composition (per-row matmul
     results don't depend on batch size — property-tested)."""
     out: list[list] = [[] for _ in texts]
+    lut = _lut_for(vocab)
     todo = [(i, list(t)) for i, t in enumerate(texts) if t]
     # Sort by length before chunking: each numpy mini-batch pads to its
     # own max length, cutting padded-FLOP waste (the reference family's
@@ -125,7 +136,7 @@ def tag_pdf_batch(
     todo.sort(key=lambda p: len(p[1]))
     for lo in range(0, len(todo), _UDF_BATCH):
         chunk = todo[lo : lo + _UDF_BATCH]
-        ids, lengths = M.encode_batch([c for _, c in chunk], vocab)
+        ids, lengths = M.encode_batch([c for _, c in chunk], vocab, lut=lut)
         emit = M.emissions(ids, lengths, params)
         paths = M.viterbi_batch(emit, lengths, params["trans"])
         for (row_i, chars), path in zip(chunk, paths):
