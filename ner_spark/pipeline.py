@@ -42,8 +42,13 @@ def run_pipeline(
     if materialize:
         # three downstream consumers (mentions, assignments, edges) —
         # materialize the tagger output once instead of re-running it
-        # per consumer (production: this is the stage-5 table commit)
-        tagged = tagged.localCheckpoint(eager=True)
+        # per consumer (production: this is the stage-5 table commit).
+        # Serialized columnar persist beats row-object localCheckpoint
+        # under GC (measured).
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged.count()
     mentions = mentions_from_turns(tagged)
     triples = extract_triples(tagged)
     out = {"tagged_turns": tagged, "mentions": mentions, "triples": triples}
