@@ -70,3 +70,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke query: full tag→triples slice; returns triples."""
     t = transcripts_for_sf(spark, sf_dir, cap=500)
     return run_pipeline(spark, t, mode="model")["triples"]
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry (BASELINE.json:6):
+
+        spark-submit --py-files ner_spark.zip -m ner_spark.pipeline \\
+            --input <transcripts path-or-iceberg-table> \\
+            --root <output root> [--stage all|tag|triples] \\
+            [--from-checkpoint auto] [--mode model|gazetteer]
+
+    Resumable by default: committed buckets are skipped
+    (checkpoint/resume.py); pass --no-resume to recompute everything.
+    """
+    import argparse
+
+    from ner_spark.checkpoint.resume import run_resumable, validate_all
+    from ner_spark.io.read import read_transcripts
+    from ner_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--stage", default="all")
+    ap.add_argument("--mode", default="model")
+    ap.add_argument("--from-checkpoint", default="auto")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.getActiveSession() or get_spark("ner_spark-pipeline")
+    transcripts = read_transcripts(spark, args.input)
+    out = run_resumable(spark, transcripts, args.root, mode=args.mode)
+    counts = {k: v.count() for k, v in out.items()}
+    ok = validate_all(spark, args.root)
+    print({"counts": counts, "validated": ok})
+
+
+if __name__ == "__main__":
+    main()
