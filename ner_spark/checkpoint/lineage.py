@@ -94,9 +94,21 @@ def commit_stage(
     bucketed = with_bucket(df, n_buckets)
     todo = bucketed.filter(~F.col("part").isin(sorted(done))) if done else bucketed
 
-    # per-bucket counters + checksum in ONE pass over the recomputed data
+    # Write FIRST (the only pass over the recomputed stage), then
+    # compute counters + checksum from the files just written: each
+    # stage executes exactly once, and the lineage checksum describes
+    # the bytes on disk — the same execution validate_stage will
+    # re-checksum (round 1 computed stats and data in two separate
+    # actions: 2× compute, and any upstream non-determinism could
+    # desync checksum from data).  Partition pruning keeps the
+    # stats scan to the recomputed buckets.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo.write.partitionBy("part").mode("overwrite").parquet(data_dir)
+    written = spark.read.parquet(data_dir)
+    if done:
+        written = written.filter(~F.col("part").isin(sorted(done)))
     stats = (
-        todo.groupBy("part")
+        written.groupBy("part")
         .agg(
             F.count("*").alias("output_rows"),
             F.coalesce(
@@ -105,8 +117,6 @@ def commit_stage(
         )
         .collect()
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    todo.write.partitionBy("part").mode("overwrite").parquet(data_dir)
 
     os.makedirs(_lineage_dir(root, stage), exist_ok=True)
     for r in stats:

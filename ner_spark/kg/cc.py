@@ -4,23 +4,47 @@ MapReduce and Beyond", SoCC 2014 — public literature; converges in
 O(log² n) rounds).
 
 No GraphX/graphframes, no RDDs — each round is two keyed self-join +
-aggregate passes (operator J10 + A1).  The driver loop materializes a
-count+checksum per round for convergence and ``localCheckpoint``s
-every few rounds to cut the lineage chain (SURVEY.md §4.3).
+aggregate passes (operator J10 + A1).
+
+Two execution branches, dispatched on the distinct-edge count:
+
+- **small graph** (≤ SMALL_EDGE_THRESHOLD edges): collect the edge
+  list (Arrow) and run driver-side union-find with path compression.
+  The match-edge graph lives over the *distinct surface vocabulary*
+  (ner_spark.kg.linking already reduced it), which is tiny relative to
+  the corpus — even a 10¹²-turn corpus has a vocabulary-scale graph,
+  and the per-round driver-loop latency of the distributed algorithm
+  dwarfs a single collect at this size.  Round 1 measured the
+  distributed loop at 122.6s on a graph union-find finishes in
+  milliseconds; this branch is why that query now takes seconds.
+- **large graph**: the distributed star loop.  One Spark action per
+  round (a LAZY checkpoint materialized by the convergence-fingerprint
+  job — round 1 ran an eager checkpoint job PLUS a fingerprint job per
+  round, doubling fixed latency).  Uses a reliable ``checkpoint()``
+  when the session has a checkpoint dir (executor-loss-safe on a real
+  cluster), else ``localCheckpoint``.
 
 Determinism: component id = min node id in the component — a pure
-function of the data.
+function of the data, identical in both branches (pytest-equal, and
+driver-checked exactly vs a DuckDB recursive-CTE closure in
+``graph_cc``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Checkpoint every round: each star pass references its input twice
-# (join + agg on the same DF), so an uncheckpointed chain recomputes
-# the whole history once per reference — measured exponential blowup.
-# localCheckpoint materializes ~|E| rows per round, trivially cheap
-# next to the recompute it avoids.
+# Above this many distinct edges the driver union-find branch would
+# collect too much; switch to the distributed star loop.  1M edges ≈
+# 16 MB of longs over Arrow — trivial for the driver, far below any
+# realistic vocabulary-graph size cliff.
+SMALL_EDGE_THRESHOLD = 1_000_000
+
+# Distributed branch: checkpoint (cut lineage) every round — each star
+# pass references its input twice (join + agg on the same DF), so an
+# uncheckpointed chain recomputes history once per reference.  The
+# checkpoint is LAZY and is materialized by the fingerprint action, so
+# it costs no extra job.
 CHECKPOINT_EVERY = 1
 
 
@@ -67,29 +91,84 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges_pdf) -> "object":
+    """Union-find with path compression over a pandas (u, v) edge
+    frame → pandas (node, component) with component = min member id."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    us = edges_pdf["u"].to_numpy()
+    vs = edges_pdf["v"].to_numpy()
+    for u, v in zip(us, vs):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = sorted({int(x) for x in us} | {int(x) for x in vs})
+    # roots are min of their component already (union by min id)
+    return pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    )
+
+
+def _checkpointed(df: DataFrame) -> DataFrame:
+    """Lazy lineage cut: reliable checkpoint when a checkpoint dir is
+    configured (survives executor loss on a cluster), localCheckpoint
+    otherwise.  Materialized by the caller's next action."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min
     node id reachable.  Isolated nodes (no edges) are callers' concern
     (left-join the node table afterwards; absent ⇒ own component)."""
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev = None
-    for rnd in range(max_rounds):
-        e = _small_star(_large_star(e))
-        if (rnd + 1) % CHECKPOINT_EVERY == 0:
-            e = e.localCheckpoint(eager=True)
-        fp = _fingerprint(e)
-        if fp == prev:
-            break
-        prev = fp
-    # At the fixpoint every edge is (node, root), root < node.
-    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-    return assign.unionByName(roots).distinct()
+    # One materialization serves the branch decision AND the chosen
+    # branch's first pass (collect or round 1) — no double compute.
+    e0 = e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_edges = e.count()
+        if n_edges <= SMALL_EDGE_THRESHOLD:
+            assign_pdf = _driver_union_find(e.toPandas())
+            return spark.createDataFrame(
+                assign_pdf, "node long, component long"
+            )
+        prev = None
+        for rnd in range(max_rounds):
+            e = _small_star(_large_star(e))
+            if (rnd + 1) % CHECKPOINT_EVERY == 0:
+                e = _checkpointed(e)
+            fp = _fingerprint(e)  # materializes the lazy checkpoint
+            if fp == prev:
+                break
+            prev = fp
+        # At the fixpoint every edge is (node, root), root < node.
+        assign = e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+        roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
+        return assign.unionByName(roots).distinct()
+    finally:
+        e0.unpersist()

@@ -72,15 +72,20 @@ def _intra_pairs(ms):
     return F.when(n >= 2, pairs).otherwise(F.expr("array()").cast(pairs_type()))
 
 
-def _cross_pairs(ms, other, dt: int):
-    """All pairs a ∈ ms × b ∈ other (a later turn's spans)."""
+def _cross_pairs(ms, other, dt_col):
+    """All pairs a ∈ ms × b ∈ other (a later turn's spans).  ``dt_col``
+    is the ACTUAL turn_idx delta to the led row — lead() is a row
+    offset, so on gapped inputs (filtered turns, sparse turn_idx) the
+    led row can be further than its lead distance; carrying the real
+    delta lets the pair filter enforce the tⱼ−tᵢ ∈ [1, 2] rule and the
+    obj_mention_id hash use the led row's true turn_idx."""
     pairs = F.flatten(
         F.transform(
             ms,
             lambda a: F.transform(
                 F.coalesce(other, F.expr("array()").cast("array<struct<start:int,end:int,surface:string,label:string>>")),
                 lambda b: F.struct(
-                    a.alias("a"), b.alias("b"), F.lit(dt).alias("dt")
+                    a.alias("a"), b.alias("b"), dt_col.alias("dt")
                 ),
             ),
         )
@@ -111,20 +116,36 @@ def extract_triples(tagged_turns: DataFrame) -> DataFrame:
             F.lead("spans", d).over(w).alias(f"next{d}")
             for d in range(1, CROSS_TURN_WINDOW + 1)
         ],
+        *[
+            F.lead("turn_idx", d).over(w).alias(f"next_ti{d}")
+            for d in range(1, CROSS_TURN_WINDOW + 1)
+        ],
     )
     all_pairs = F.concat(
         _intra_pairs(F.col("ms")),
         *[
-            _cross_pairs(F.col("ms"), F.col(f"next{d}"), d)
+            _cross_pairs(
+                F.col("ms"),
+                F.col(f"next{d}"),
+                # real turn delta of the led row (≥ d; > window on gaps)
+                F.coalesce(
+                    F.col(f"next_ti{d}") - F.col("turn_idx"), F.lit(d)
+                ).cast("int"),
+            )
             for d in range(1, CROSS_TURN_WINDOW + 1)
         ],
     )
 
     def keep(p):
-        # intra-turn gap rule; cross-turn pairs pass unconditionally
-        return (p["dt"] > 0) | (p["b"]["start"] - p["a"]["end"]).between(
-            0, MAX_GAP
-        )
+        # intra-turn: dt == 0 and the codepoint-gap rule; cross-turn:
+        # the led row's REAL turn delta must be within the window
+        # (dense inputs: always; gapped inputs: drops far pairs that a
+        # row-offset lead would mislabel same_context)
+        intra = (p["dt"] == 0) & (
+            p["b"]["start"] - p["a"]["end"]
+        ).between(0, MAX_GAP)
+        cross = (p["dt"] > 0) & (p["dt"] <= CROSS_TURN_WINDOW)
+        return intra | cross
 
     def finalize(p):
         a, b, dt = p["a"], p["b"], p["dt"]

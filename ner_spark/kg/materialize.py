@@ -55,7 +55,11 @@ def build_entities(
             F.max_by(
                 "surface", F.struct(F.col("n"), F.col("surface"))
             ).alias("canonical_surface"),
-            F.first("label").alias("label"),
+            # match edges never cross labels, so all rows of an entity
+            # share one label — max() makes that deterministic even if
+            # the invariant were ever relaxed (F.first is order-
+            # dependent under parallel aggregation).
+            F.max("label").alias("label"),
             F.sum("n").alias("n_mentions"),
         )
     )

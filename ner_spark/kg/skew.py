@@ -73,11 +73,34 @@ def with_salt(
     return df.withColumn("salt", salt.cast("int"))
 
 
-def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Diagnose + apply + repartition on (conv_id, salt)."""
-    hot = hot_conversations(df)
-    return (
-        with_salt(df, hot)
-        .repartition(num_partitions, "conv_id", "salt")
-        .drop("salt")
+def salted_repartition(
+    df: DataFrame, num_partitions: int, diagnose: bool = False
+) -> DataFrame:
+    """Skew-proof layout for per-turn stages.
+
+    Default (``diagnose=False``): hash-partition on the turn-block
+    fragment key ``xxhash64(conv_id, turn_idx div B)`` for EVERY row —
+    no key can own more than ~B consecutive turns per bucket, so
+    whales split automatically, with ZERO extra jobs (round 1's
+    diagnosed variant spent a full corpus scan + driver collect before
+    the tag job even started; at 10¹² turns that pass costs more than
+    the skew it prevents).  Safe because the tagger is per-turn: any
+    partitioning is correct, and the (conv_id, turn_idx)
+    sortWithinPartitions invariant is applied after this layout
+    regardless.
+
+    ``diagnose=True``: the two-pass variant (hot-list + targeted
+    salt), for stages that need conversation co-location and can only
+    afford to split genuinely hot keys.
+    """
+    if diagnose:
+        hot = hot_conversations(df)
+        return (
+            with_salt(df, hot)
+            .repartition(num_partitions, "conv_id", "salt")
+            .drop("salt")
+        )
+    frag = F.xxhash64(
+        "conv_id", F.floor(F.col("turn_idx") / F.lit(TURNS_PER_FRAGMENT))
     )
+    return df.repartition(num_partitions, frag)

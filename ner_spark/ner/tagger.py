@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ner_spark.fixtures.gazetteer import GAZETTEER
 from ner_spark.ner import model_np as M
-from ner_spark.ner.decode import BIO_TAGS, decode_bio
+from ner_spark.ner.decode import BIO_TAGS, decode_bio, decode_bmes, spans_to_bmes
 from ner_spark.ner.train_np import load_or_train
 
 MENTION_SCHEMA = T.StructType(
@@ -163,6 +163,26 @@ def _tagger_fn(mode: str):
             texts = pdf["text"].tolist()
             if mode == "model":
                 span_lists = tag_pdf_batch(texts, params, vocab)
+            elif mode == "gazetteer_bmes":
+                # BMES label-scheme path (C9, BASELINE "BIO/BMES"):
+                # spans → BMES tag sequence → decode_bmes, so the BMES
+                # codec runs inside the distributed UDF; round-trips to
+                # the BIO-path spans exactly (pytest parity).
+                span_lists = []
+                for t in texts:
+                    tag_seq = spans_to_bmes(
+                        len(t),
+                        [
+                            (s, e, lab)
+                            for s, e, _surf, lab in gazetteer_spans(t, idx)
+                        ],
+                    )
+                    span_lists.append(
+                        [
+                            (s, e, t[s:e], lab, 1.0)
+                            for s, e, lab in decode_bmes(tag_seq)
+                        ]
+                    )
             else:
                 span_lists = [
                     [(s, e, surf, lab, 1.0) for s, e, surf, lab in gazetteer_spans(t, idx)]

@@ -41,6 +41,15 @@ def kg_mentions_gazetteer(spark, sf_dir):
     return tag_mentions(_transcripts(spark, sf_dir), mode="gazetteer")
 
 
+@register("kg_mentions_bmes")  # ⊘ pytest: spans == gazetteer (BIO) path
+def kg_mentions_bmes(spark, sf_dir):
+    """Stage 4, BMES label scheme: spans → BMES tags → decode_bmes
+    inside the distributed UDF (C9 through the real path)."""
+    from ner_spark.ner.tagger import tag_mentions
+
+    return tag_mentions(_transcripts(spark, sf_dir), mode="gazetteer_bmes")
+
+
 @register("kg_triples")  # ⊘
 def kg_triples(spark, sf_dir):
     """Stages 4+6: tag → co-occurrence triples (pinned predicate rule)."""

@@ -113,9 +113,13 @@ def decode_features(media: DataFrame) -> DataFrame:
                 out, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
 
-    return media.repartition(
-        media.sparkSession.sparkContext.defaultParallelism, "media_id"
-    ).mapInPandas(fn, FEATURE_SCHEMA)
+    # No repartition: decode is embarrassingly parallel and needs no
+    # co-partitioning — a hash exchange here would shuffle every
+    # payload byte (at 100 TB of media, the single biggest avoidable
+    # shuffle).  Input-file splits already bound partition size via
+    # spark.sql.files.maxPartitionBytes; plan-asserted shuffle-free in
+    # tests/unit_ops/test_plans.py.
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
 @register("mm_features")  # ⊘ rows-only (codec stubbed; plumbing real)

@@ -398,29 +398,40 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # ⊘ rows-only
-def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 32-bit signature = sign-aggregated token-hash
-    bits; candidates share one of 4 8-bit chunks (≤3-bit hamming pairs
-    are guaranteed caught at 4 chunks).  Pure bit arithmetic on
-    higher-order array functions."""
-    d = table(spark, sf_dir, "documents")
+SIMHASH_BITS = 64  # 32-bit signatures collide at 10⁹+ docs (birthday);
+SIMHASH_CHUNKS = 8  # 8×8-bit chunks: every ≤7-bit hamming pair shares
+#                     one clean chunk (pigeonhole), so threshold 6 is
+#                     recall-guaranteed by the bucketing.
+
+
+def dedup_simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign-aggregated token-hash
+    bits; candidates share one of 8 8-bit chunks.  Pure bit arithmetic
+    on higher-order array functions — no UDF."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit b of simhash = 1 iff sum over tokens of (+1 if bit set else -1)
-    # is positive; bit positions are Python-side constants (unrolled).
+    # bit b of simhash = 1 iff sum over tokens of (+1 if bit set else
+    # -1) is positive; bit positions are Python-side constants
+    # (unrolled).  shiftright+&1 instead of a mask literal: 1<<63
+    # doesn't fit a signed long, the shifted bit test works for all 64.
+    # NB: the fold lambda must be EXACTLY 2-ary (pyspark binds lambda
+    # variables by signature arity — a defaulted third param would get
+    # a Column bound to it), hence the factory closure over the bit.
+    def _vote_fn(bit: int):
+        def vote(acc, hsh):
+            return acc + F.when(
+                F.shiftright(hsh, bit).bitwiseAND(F.lit(1)) != 0, 1
+            ).otherwise(-1)
+
+        return vote
+
     sig = None
-    for b in range(32):
-        mask = 1 << b
-
-        def vote_fn(acc, hsh, _mask=mask):
-            return acc + F.when(hsh.bitwiseAND(F.lit(_mask)) != 0, 1).otherwise(-1)
-
-        vote = F.aggregate(th, F.lit(0), lambda acc, hsh: vote_fn(acc, hsh, mask))
-        bit = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(th, F.lit(0), _vote_fn(b))
+        bit = F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
     sigs = d.filter(F.trim("text") != "").select("doc_id", sig.alias("simhash"))
     chunks = sigs.select(
         "doc_id",
@@ -434,7 +445,7 @@ def dedup_simhash(spark, sf_dir):
                         .bitwiseAND(F.lit(255))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("ck"),
@@ -442,10 +453,7 @@ def dedup_simhash(spark, sf_dir):
     a = chunks.alias("a")
     b = chunks.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = None
-    for bit in range(32):
-        one = F.shiftright(xor, bit).bitwiseAND(F.lit(1)).cast("int")
-        hamming = one if hamming is None else hamming + one
+    hamming = F.bit_count(xor)
     return (
         a.join(
             b,
@@ -461,3 +469,8 @@ def dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@register("dedup_simhash")  # ⊘ rows-only
+def dedup_simhash(spark, sf_dir):
+    return dedup_simhash_pairs(table(spark, sf_dir, "documents"))

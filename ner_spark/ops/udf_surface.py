@@ -1,9 +1,10 @@
 """UDF/UDAF/UDTF surface operators (SURVEY.md §2.2 group I) — the
 remaining Python-boundary shapes beyond the tagger's mapInPandas
 (U2): scalar pandas UDF (U1), grouped map (U3), grouped agg (U4),
-UDTF (U5).  All Arrow-vectorized; registered as rows-only catalog
-queries (⊘) with exactness pinned by pytest against built-in
-equivalents."""
+UDTF (U5).  All Arrow-vectorized; since round 2 each carries a DuckDB
+oracle (the UDF bodies compute SQL-expressible functions on purpose —
+the Python boundary is the thing under test, so an exact external
+check is strictly stronger than the pytest-vs-builtin pin it keeps)."""
 
 from __future__ import annotations
 
@@ -23,12 +24,17 @@ def _codepoint_len_udf():
 
     @pandas_udf("int")
     def codepoint_len(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(t) if t is not None else 0)
+        return texts.str.len().fillna(0).astype("int32")
 
     return codepoint_len
 
 
-@register("udf_scalar")  # ⊘ pytest checks == F.length
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS INT) AS cp_len FROM documents
+    """,
+)
 def udf_scalar(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", _codepoint_len_udf()("text").alias("cp_len"))
@@ -50,7 +56,22 @@ def _order_profile(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("udf_grouped_map")  # ⊘
+@register(
+    "udf_grouped_map",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_quantity,
+             lag(l_quantity) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+             ) AS prev
+      FROM lineitem
+    )
+    SELECT l_orderkey, count(*) AS n_lines,
+           coalesce(max(abs(l_quantity - prev)), 0.0) AS max_step
+    FROM s GROUP BY l_orderkey
+    """,
+)
 def udf_grouped_map(spark, sf_dir):
     """U3: groupBy().applyInPandas — groups must fit in memory; at
     scale, guard group size upstream (the whale-conversation salting
@@ -68,13 +89,25 @@ def _wavg_udf():
 
     @pandas_udf("double")
     def wavg(price: pd.Series, qty: pd.Series) -> float:
+        # np.sum on a contiguous float64 block and DuckDB's sequential
+        # sum differ in the last ulp for big groups; summing in sorted
+        # order is NOT enough — round(4) absorbs it (error ~1e-9 on
+        # values ~1e4; verified exact vs the oracle at sf0.01).
         denom = qty.sum()
         return float((price * qty).sum() / denom) if denom else 0.0
 
     return wavg
 
 
-@register("udf_grouped_agg")  # ⊘ pytest checks ≈ SQL formula
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def udf_grouped_agg(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -104,7 +137,22 @@ def _register_pair_udtf(spark):
     return udtf(PairUDTF, returnType="a string, b string")
 
 
-@register("udtf_pairs")  # ⊘ pytest checks == join_self-style expansion
+@register(
+    "udtf_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT l_orderkey, p_name
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), sizes AS (
+      SELECT l_orderkey FROM names GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 2 AND 6
+    )
+    SELECT a.l_orderkey, a.p_name AS a, b.p_name AS b
+    FROM names a
+    JOIN names b ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
+    JOIN sizes s ON s.l_orderkey = a.l_orderkey
+    """,
+)
 def udtf_pairs(spark, sf_dir):
     """Per-order part-name pairs via UDTF (lateral join)."""
     pair_fn = _register_pair_udtf(spark)

@@ -67,6 +67,35 @@ def test_cc_random_graph(spark):
     assert got == union_find(edges)
 
 
+@pytest.mark.parametrize("name", sorted(PLANTED))
+def test_cc_distributed_branch(spark, monkeypatch, name):
+    """Force the star-loop branch (threshold → 0): must agree with the
+    driver union-find fast path on every planted graph."""
+    import ner_spark.kg.cc as cc
+
+    monkeypatch.setattr(cc, "SMALL_EDGE_THRESHOLD", 0)
+    edges = PLANTED[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == union_find(edges)
+
+
+def test_cc_distributed_random(spark, monkeypatch):
+    import ner_spark.kg.cc as cc
+
+    monkeypatch.setattr(cc, "SMALL_EDGE_THRESHOLD", 0)
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(600)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == union_find(edges)
+
+
 def test_cc_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0

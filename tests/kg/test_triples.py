@@ -78,6 +78,32 @@ def test_triples_partition_invariance(spark, expected):
     pd.testing.assert_frame_equal(got, expected)
 
 
+def test_triples_gapped_turn_idx(spark):
+    """Gapped inputs (filtered turns → sparse turn_idx): lead() is a
+    row offset, so the engine must carry the REAL turn delta — pairs
+    further than the window are dropped and obj_mention_id hashes the
+    led row's true turn_idx (no dangling ids)."""
+    from ner_spark.ner.tagger import mentions_from_turns
+
+    turns, _ = transcripts_pdf(N_CONVS)
+    turns_g = turns[turns.turn_idx % 3 != 1].reset_index(drop=True)
+    mentions = oracle_mentions(turns_g, mode="gazetteer")
+    expected = _norm(reference_triples(turns_g, mentions))
+
+    t = transcripts_df(spark, N_CONVS).filter("turn_idx % 3 != 1")
+    tagged = tag_turns(t, mode="gazetteer")
+    triples = extract_triples(tagged).toPandas()
+    pd.testing.assert_frame_equal(_norm(triples), expected)
+
+    # every obj_mention_id resolves to a real mention row
+    mention_ids = set(
+        mentions_from_turns(tag_turns(t, mode="gazetteer"))
+        .select("mention_id")
+        .toPandas()["mention_id"]
+    )
+    assert set(triples["obj_mention_id"]) <= mention_ids
+
+
 def test_flagship_runs(spark):
     from ner_spark.pipeline import flagship
 

@@ -69,6 +69,16 @@ def test_triples_plan_is_join_free_single_exchange(spark):
     assert "WindowExec" in plan or "Window" in plan
 
 
+def test_multimodal_decode_is_shuffle_free(spark):
+    """decode_features must not exchange payload bytes: decode is
+    embarrassingly parallel, so the plan is scan → project →
+    mapInPandas with NO Exchange (at 100 TB of media a repartition
+    here would be the largest avoidable shuffle in the engine)."""
+    plan = _plan(QUERIES["mm_features"](spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+
+
 def test_partial_aggregation_present(spark):
     """A1: map-side partial agg before the exchange."""
     plan = _plan(QUERIES["agg_basic"](spark, SF_ORACLE))

@@ -1,0 +1,123 @@
+"""Near-dup family exactness properties (SURVEY.md §5.2): the
+approximate paths (MinHash banding, SimHash chunking) checked against
+exact Jaccard / exact Hamming computed independently in pure python.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.ops.textops import (
+    SIMHASH_BITS,
+    dedup_simhash_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _docs(spark):
+    """Planted corpus: 30 base docs, each with a near-dup mutation
+    (one word appended) and some exact dups."""
+    rows = []
+    did = 0
+    for i in range(30):
+        base = " ".join(WORDS[(i + j) % len(WORDS)] for j in range(12))
+        rows.append((did, base))
+        did += 1
+        rows.append((did, base + " " + WORDS[i % len(WORDS)]))  # near-dup
+        did += 1
+        if i % 5 == 0:
+            rows.append((did, base))  # exact dup
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _jaccard(a: str, b: str, k: int = 5) -> float:
+    A = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
+    B = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    import itertools
+
+    docs, rows = _docs(spark)
+    true_pairs = {
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+        if _jaccard(ta, tb) >= 0.7
+    }
+    assert true_pairs, "fixture must plant high-jaccard pairs"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.95, (recall, len(true_pairs))
+
+
+def test_minhash_partition_invariance(spark):
+    docs, _ = _docs(spark)
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs.repartition(7))
+        ).collect()
+    }
+    assert a == b and a
+
+
+def _py_simhash(text: str, spark) -> int:
+    """Independent signature: same xxhash64 inputs via a 1-row Spark
+    eval (the token hash is the engine's; the vote/bit assembly here is
+    pure python)."""
+    toks = text.strip().split()
+    hashes = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select(F.xxhash64("t"))
+        .collect()
+    ]
+    sig = 0
+    for b in range(SIMHASH_BITS):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        if vote > 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_64bit_and_hamming_exact(spark):
+    docs, rows = _docs(spark)
+    pairs = dedup_simhash_pairs(docs).collect()
+    assert pairs
+    by_id = dict(rows)
+    # planted exact dups must be reported at hamming 0
+    exact = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a < b and ta == tb
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    for p in exact:
+        assert got.get(p) == 0, (p, got.get(p))
+    # every reported hamming is the exact 64-bit signature distance
+    sig_cache: dict[int, int] = {}
+
+    def sig(doc_id: int) -> int:
+        if doc_id not in sig_cache:
+            sig_cache[doc_id] = _py_simhash(by_id[doc_id], spark)
+        return sig_cache[doc_id]
+
+    sample = sorted(got)[:10]
+    for a, b in sample:
+        expected = bin((sig(a) ^ sig(b)) & ((1 << 64) - 1)).count("1")
+        assert got[(a, b)] == expected
+        assert got[(a, b)] <= 6
