@@ -152,7 +152,8 @@ def run_worker(cores: int) -> None:
     )
 
 
-REPEATS = 3  # best-of-N: the sandbox is co-tenant, wall time swings up to 3x
+# best-of-N: the sandbox is co-tenant, wall time swings up to 3x
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _one_worker(cores: int) -> dict:

@@ -32,6 +32,16 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _sigmoid_inplace(x: np.ndarray) -> None:
+    """1/(1+exp(-x)) with zero allocations — the same op sequence as
+    ``_sigmoid`` (negate, exp, +1, reciprocal), so results are
+    bit-identical; it just reuses the input buffer."""
+    np.negative(x, out=x)
+    np.exp(x, out=x)
+    x += 1.0
+    np.reciprocal(x, out=x)
+
+
 def build_vocab(corpus_chars) -> dict[str, int]:
     """char → id; 0/1 reserved.  Sorted for determinism."""
     vocab = {"<PAD>": PAD_ID, "<UNK>": UNK_ID}
@@ -79,42 +89,89 @@ def encode_batch(
     return ids, lengths
 
 
-def _lstm_dir(x: np.ndarray, mask: np.ndarray, wx, wh, b, reverse: bool):
+def _lstm_dir(
+    x: np.ndarray,
+    mask: np.ndarray,
+    wx,
+    wh,
+    b,
+    reverse: bool,
+    out: np.ndarray | None = None,
+):
     """One LSTM direction over [B,T,d] → [B,T,h]; masked at padding.
 
     The input projection is time-independent, so it is hoisted out of
     the recurrence as ONE [B·T,d]@[d,4h] matmul (plus the bias); only
-    the [B,h]@[h,4h] hidden matmul stays inside the loop."""
+    the [B,h]@[h,4h] hidden matmul stays inside the loop.
+
+    The recurrence itself allocates NOTHING: all step tensors live in
+    preallocated buffers updated in place (same op sequence as the
+    naive form, so results are bit-identical).  With 16–32 python
+    workers sharing one box, the per-step temporary churn of the naive
+    form (≈6 allocations × T steps × [B,4h]) was the dominant
+    memory-bandwidth/allocator load — measured as the per-core
+    throughput cliff at high parallelism.  ``out`` may be a strided
+    [B,T,h] view (one half of the concat target) — written per step.
+
+    Mask semantics: mask values are exactly 0/1, so the arithmetic
+    blend ``m·new + (1−m)·old`` equals a selective copy bit-for-bit;
+    implemented as ``np.copyto(..., where=active)``."""
     B, T, d = x.shape
     h_dim = wh.shape[0]
     xw = (x.reshape(B * T, d) @ wx + b).reshape(B, T, 4 * h_dim)
     h = np.zeros((B, h_dim), dtype=np.float32)
     c = np.zeros((B, h_dim), dtype=np.float32)
-    out = np.zeros((B, T, h_dim), dtype=np.float32)
-    fmask = mask.astype(np.float32)
+    if out is None:
+        out = np.zeros((B, T, h_dim), dtype=np.float32)
+    g = np.empty((B, 4 * h_dim), dtype=np.float32)
+    cnew = np.empty((B, h_dim), dtype=np.float32)
+    tmp = np.empty((B, h_dim), dtype=np.float32)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for t in steps:
-        g = xw[:, t, :] + h @ wh  # [B, 4h]
-        i_g = _sigmoid(g[:, :h_dim])
-        f_g = _sigmoid(g[:, h_dim : 2 * h_dim])
-        c_g = np.tanh(g[:, 2 * h_dim : 3 * h_dim])
-        o_g = _sigmoid(g[:, 3 * h_dim :])
-        m = fmask[:, t : t + 1]
-        c = m * (f_g * c + i_g * c_g) + (1 - m) * c
-        h = m * (o_g * np.tanh(c)) + (1 - m) * h
+        np.matmul(h, wh, out=g)
+        g += xw[:, t, :]
+        i_g = g[:, :h_dim]
+        f_g = g[:, h_dim : 2 * h_dim]
+        c_g = g[:, 2 * h_dim : 3 * h_dim]
+        o_g = g[:, 3 * h_dim :]
+        _sigmoid_inplace(i_g)
+        _sigmoid_inplace(f_g)
+        np.tanh(c_g, out=c_g)
+        _sigmoid_inplace(o_g)
+        active = mask[:, t : t + 1]  # [B,1] bool
+        # c ← f·c + i·c̃ on active rows only
+        np.multiply(f_g, c, out=cnew)
+        np.multiply(i_g, c_g, out=tmp)
+        cnew += tmp
+        np.copyto(c, cnew, where=active)
+        # h ← o·tanh(c) on active rows only
+        np.tanh(c, out=tmp)
+        tmp *= o_g
+        np.copyto(h, tmp, where=active)
         out[:, t, :] = h
     return out
 
 
 def hidden_states(ids: np.ndarray, lengths: np.ndarray, p: dict) -> np.ndarray:
-    """C3+C4: embedding lookup + BiLSTM concat → [B,T,2h] fp32."""
+    """C3+C4: embedding lookup + BiLSTM concat → [B,T,2h] fp32.
+    Both directions write straight into their half of the concat
+    target (no post-hoc concatenate copy)."""
     mask = (
         np.arange(ids.shape[1])[None, :] < lengths[:, None]
     )  # [B,T] bool
     x = p["embed"][ids].astype(np.float32)  # [B,T,d]
-    fwd = _lstm_dir(x, mask, p["wx_f"], p["wh_f"], p["b_f"], reverse=False)
-    bwd = _lstm_dir(x, mask, p["wx_b"], p["wh_b"], p["b_b"], reverse=True)
-    return np.concatenate([fwd, bwd], axis=-1)
+    B, T = ids.shape
+    h_dim = p["wh_f"].shape[0]
+    hs = np.zeros((B, T, 2 * h_dim), dtype=np.float32)
+    _lstm_dir(
+        x, mask, p["wx_f"], p["wh_f"], p["b_f"], reverse=False,
+        out=hs[:, :, :h_dim],
+    )
+    _lstm_dir(
+        x, mask, p["wx_b"], p["wh_b"], p["b_b"], reverse=True,
+        out=hs[:, :, h_dim:],
+    )
+    return hs
 
 
 def emissions(ids: np.ndarray, lengths: np.ndarray, p: dict) -> np.ndarray:

@@ -42,7 +42,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # double, not float: the fake-decode features are exact
+        # 6-decimal values, and double keeps the Spark schema identical
+        # to the DuckDB oracle's DOUBLE[] for the driver compare
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -122,8 +125,39 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
-@register("mm_features")  # ⊘ rows-only (codec stubbed; plumbing real)
+def _mm_features_oracle() -> str:
+    """The fake decode is a pure function of md5(payload) and payload
+    is the utf-8 text, so DuckDB can replay it exactly: hex-pair →
+    byte via strpos arithmetic, then the same width/height/frames/
+    feature formulas as _fake_decode."""
+
+    def byte(i: int) -> str:  # 0-based byte of the md5 digest
+        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    feat = ", ".join(f"round({byte(i)} / 255.0, 6)" for i in range(8))
+    return f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(16 + {byte(0)} % 240 AS INT) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(16 + {byte(1)} % 240 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(1 + {byte(2)} % 32 AS INT) END AS n_frames,
+           [{feat}] AS feature
+    FROM m
+    """
+
+
+@register("mm_features", oracle=_mm_features_oracle())
 def mm_features(spark, sf_dir):
+    """Decode/feature-extract over the opaque media column.  The codec
+    is the documented deterministic fake (md5-keyed), which makes the
+    whole mapInPandas path externally checkable: DuckDB replays the
+    same bytes → the driver verifies the Arrow plumbing end-to-end."""
     d = table(spark, sf_dir, "documents")
     return decode_features(media_from_documents(d))
 

@@ -158,7 +158,13 @@ def dedup_embcos(spark, sf_dir):
     """Embedding-cosine near-dup: most-similar pair within each label
     block.  Blocked self-join (label carries the shuffle) + per-block
     argmax window — the shape of semantic dedup over a clustered
-    corpus."""
+    corpus.
+
+    Scale guard: this is the EXACT baseline — all-pairs within a
+    block, O(|block|²).  It is the oracle twin for the bucketed path;
+    at 100 TB run ``sim_lsh``-style hyperplane bucketing first (each
+    vector scores only its own bucket) and reserve this operator for
+    blocks the cluster-cardinality stats bound under ~10⁵ vectors."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("v")
     )

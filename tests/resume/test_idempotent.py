@@ -80,6 +80,30 @@ def test_partial_failure_resume(spark, root):
     assert validate_stage(spark, root, "triples")
 
 
+def test_commit_stage_computes_input_once(spark, root):
+    """The stage body must execute exactly ONE time per commit (round
+    1 ran it twice: a stats action then the write).  Counted with an
+    accumulator bumped inside a mapInPandas the stage flows through."""
+    from ner_spark.checkpoint.lineage import commit_stage
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    t = transcripts_df(spark, 20).select("conv_id", "turn_idx", "text")
+    n_rows = t.count()
+    staged = t.mapInPandas(bump, t.schema)
+    acc.value = 0
+    out = commit_stage(staged, root, "probe")
+    assert out.count() == n_rows
+    assert acc.value == n_rows, f"stage executed {acc.value / n_rows:.1f}x"
+    # checksum was computed from the written files, so validation holds
+    assert validate_stage(spark, root, "probe")
+
+
 def test_duplicate_input_rows_dedup(spark, root):
     """At-least-once source: injected duplicate (conv_id, turn_idx)
     rows must not duplicate mentions/triples."""
