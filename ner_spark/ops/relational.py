@@ -762,6 +762,40 @@ def win_tumble(spark, sf_dir):
 
 
 @register(
+    "win_slide",
+    oracle="""
+    WITH x AS (
+      SELECT value,
+             CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 * k.k AS ws
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS wstart,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM x GROUP BY wstart
+    """,
+)
+def win_slide(spark, sf_dir):
+    """X2 batch face: 10-minute window sliding every 5 minutes — each
+    event lands in width/slide = 2 windows.  Oracle enumerates the two
+    aligned window starts per event (the same expansion Spark's
+    window() generator performs)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "win_session",
     oracle="""
     WITH d AS (
