@@ -306,9 +306,18 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
     Deterministic hash family: h_i(x) = (a_i * (xxhash64(x) mod p) +
     b_i) mod p over the Mersenne prime p = 2^31-1, with a_i, b_i
     derived from xxhash64 of the permutation index — no RNG state,
-    identical on any executor/partitioning.  Everything is built-in
-    expressions: shingling via sequence+transform, signatures via
-    explode + groupBy(min per permutation) — one shuffle.
+    identical on any executor/partitioning.
+
+    ZERO-SHUFFLE: each document's shingle set is hashed to an
+    array<long> in its own row (8 bytes per shingle — no string
+    copies) and each signature slot is an ``array_min`` over a
+    ``transform`` of that array.  The round-1 formulation exploded
+    shingles (~|text| rows per doc) and shuffled a 64-min groupBy —
+    at 100 TB that shuffle IS the job; this one is embarrassingly
+    parallel and emits only (doc_id, 64 longs) per doc.  Memory per
+    row is ~8·|text| transient bytes; pathological multi-GB documents
+    should be length-capped upstream (quality filters already drop
+    them).
     """
     perms = [
         (
@@ -317,38 +326,53 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
         )
         for i in range(N_PERM)
     ]
-    sh = docs.filter(F.length("text") >= k).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
-                    ),
-                    lambda i: F.col("text").substr(i, F.lit(k)),
-                )
-            )
-        ).alias("shingle"),
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+            ),
+            lambda i: F.pmod(
+                F.xxhash64(F.col("text").substr(i, F.lit(k))),
+                F.lit(_MERSENNE),
+            ),
+        )
     )
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    aggs = [
-        F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
-    return sigs.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(N_PERM)]).alias("sig")
+    # Balance the map over the cluster: the signature work is ~64·|text|
+    # ops per doc, and a single large input file otherwise arrives as
+    # one partition.  This moves RAW doc bytes once (1×) — the round-1
+    # groupBy shuffled ~8·|text| bytes of exploded shingle hashes.
+    sc = docs.sparkSession.sparkContext
+    base = (
+        docs.filter(F.length("text") >= k)
+        .repartition(4 * sc.defaultParallelism, "doc_id")
+        .select("doc_id", shingle_hashes.alias("sh"))
+    )
+
+    def slot(a, b):
+        return F.array_min(
+            F.transform(
+                F.col("sh"), lambda x: F.pmod(a * x + b, F.lit(_MERSENNE))
+            )
+        )
+
+    return base.select(
+        "doc_id", F.array(*[slot(a, b) for a, b in perms]).alias("sig")
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banding: split the signature into N_BANDS bands, hash each band,
     equi-join docs sharing any (band_idx, band_hash) bucket.  Estimated
-    jaccard = fraction of agreeing signature positions."""
+    jaccard = fraction of agreeing signature positions.
+
+    The band join carries only (doc_id, band_idx, band_hash) — 24
+    bytes/row; the 64-long signatures rejoin AFTER the pair set is
+    distinct, so hot buckets never duplicate signature arrays (at
+    10⁹ docs the band join's shuffle is the cost center — keep its
+    rows narrow)."""
     rows = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -362,16 +386,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(N_PERM)
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -381,9 +399,21 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(est, 4).alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(N_PERM)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
     )
 
 
@@ -432,7 +462,14 @@ def dedup_simhash_pairs(d: DataFrame) -> DataFrame:
             vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    sigs = d.filter(F.trim("text") != "").select("doc_id", sig.alias("simhash"))
+    sc = d.sparkSession.sparkContext
+    sigs = (
+        d.filter(F.trim("text") != "")
+        # balance the 64-bit vote folds (64·|tokens| ops/doc) across
+        # the cluster — a single input file is one partition otherwise
+        .repartition(4 * sc.defaultParallelism, "doc_id")
+        .select("doc_id", sig.alias("simhash"))
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
