@@ -348,6 +348,10 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
         .select("doc_id", shingle_hashes.alias("sh"))
     )
 
+    # 64 separate array_min columns, NOT one nested transform-over-
+    # coefficients expression: the nested form is ~64× less generated
+    # code but runs the inner loop interpreted (measured 4× slower
+    # end-to-end); the unrolled columns stay on the fast path.
     def slot(a, b):
         return F.array_min(
             F.transform(
