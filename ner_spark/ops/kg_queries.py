@@ -44,7 +44,9 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
     from ner_spark.kg.cooccur import extract_triples
     from ner_spark.ner.tagger import mentions_from_turns, tag_turns
 
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId, not id(sc): a restarted context can reuse the
+    # python object address, which would serve stale persisted DFs
+    key = (spark.sparkContext.applicationId, sf_dir)
     st = _STAGES.get(key)
     if st is None:
         tagged = tag_turns(_transcripts(spark, sf_dir), mode="model").persist(
