@@ -130,13 +130,23 @@ def _checkpointed(df: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 30
+    edges: DataFrame,
+    max_rounds: int = 30,
+    small_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min
     node id reachable.  Isolated nodes (no edges) are callers' concern
-    (left-join the node table afterwards; absent ⇒ own component)."""
+    (left-join the node table afterwards; absent ⇒ own component).
+
+    ``small_edge_threshold`` overrides SMALL_EDGE_THRESHOLD (pass 0 to
+    force the distributed star loop regardless of graph size — used by
+    the ``graph_cc_dist`` oracle query so the external gate exercises
+    the branch that must be right at 10¹²-turn scale, not only the
+    driver union-find fast path)."""
     from pyspark import StorageLevel
 
+    if small_edge_threshold is None:
+        small_edge_threshold = SMALL_EDGE_THRESHOLD
     spark = edges.sparkSession
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -148,7 +158,7 @@ def connected_components(
     e0 = e = e.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_edges = e.count()
-        if n_edges <= SMALL_EDGE_THRESHOLD:
+        if n_edges <= small_edge_threshold:
             assign_pdf = _driver_union_find(e.toPandas())
             return spark.createDataFrame(
                 assign_pdf, "node long, component long"

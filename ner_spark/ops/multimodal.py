@@ -129,26 +129,32 @@ def _mm_features_oracle() -> str:
     """The fake decode is a pure function of md5(payload) and payload
     is the utf-8 text, so DuckDB can replay it exactly: hex-pair →
     byte via strpos arithmetic, then the same width/height/frames/
-    feature formulas as _fake_decode."""
+    feature formulas as _fake_decode.  The 8-element feature vector is
+    emitted as (feature_idx, value) ROWS, not an array column: the
+    driver canonicalizes results by sorting on every column, and a
+    top-level array makes pandas sort_values raise
+    ``TypeError: unhashable type: 'list'`` (CORRECTNESS_r02
+    mm_features).  All scalars → sortable → comparable."""
 
-    def byte(i: int) -> str:  # 0-based byte of the md5 digest
-        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
-        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+    def byte(i: str) -> str:  # 0-based byte of the md5 digest, i is SQL
+        hi = f"strpos('0123456789abcdef', substr(h, 2 * ({i}) + 1, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, 2 * ({i}) + 2, 1)) - 1"
         return f"(({hi}) * 16 + ({lo}))"
 
-    feat = ", ".join(f"round({byte(i)} / 255.0, 6)" for i in range(8))
     return f"""
-    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         idx AS (SELECT CAST(range AS INT) AS feature_idx FROM range(8))
     SELECT doc_id AS media_id,
            (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
            CASE WHEN doc_id % 3 = 0
-                THEN CAST(16 + {byte(0)} % 240 AS INT) END AS width,
+                THEN CAST(16 + {byte('0')} % 240 AS INT) END AS width,
            CASE WHEN doc_id % 3 = 0
-                THEN CAST(16 + {byte(1)} % 240 AS INT) END AS height,
+                THEN CAST(16 + {byte('1')} % 240 AS INT) END AS height,
            CASE WHEN doc_id % 3 = 2
-                THEN CAST(1 + {byte(2)} % 32 AS INT) END AS n_frames,
-           [{feat}] AS feature
-    FROM m
+                THEN CAST(1 + {byte('2')} % 32 AS INT) END AS n_frames,
+           feature_idx,
+           round({byte('feature_idx')} / 255.0, 6) AS feature_value
+    FROM m CROSS JOIN idx
     """
 
 
@@ -157,9 +163,19 @@ def mm_features(spark, sf_dir):
     """Decode/feature-extract over the opaque media column.  The codec
     is the documented deterministic fake (md5-keyed), which makes the
     whole mapInPandas path externally checkable: DuckDB replays the
-    same bytes → the driver verifies the Arrow plumbing end-to-end."""
+    same bytes → the driver verifies the Arrow plumbing end-to-end.
+    Feature vector posexploded to scalar rows so the result sorts
+    (driver canonicalization can't sort an array column)."""
     d = table(spark, sf_dir, "documents")
-    return decode_features(media_from_documents(d))
+    feats = decode_features(media_from_documents(d))
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.posexplode("feature").alias("feature_idx", "feature_value"),
+    )
 
 
 @register(

@@ -19,10 +19,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         if str(df[c].dtype).startswith("int32"):
             df[c] = df[c].astype("int64")
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    # Sort BEFORE any stringification: the driver sorts the raw frame on
+    # all columns, so an unsortable column (e.g. a top-level array —
+    # pandas raises TypeError: unhashable type 'list') must fail HERE in
+    # the mirror exactly as it fails in the driver (CORRECTNESS_r02
+    # mm_features was green locally but red externally because the old
+    # mirror stringified object columns first).
     sort_cols = list(df.columns)
     df = df.sort_values(sort_cols, na_position="last").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
     return df
 
 

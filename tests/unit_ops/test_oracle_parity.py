@@ -27,3 +27,32 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_queries_sortable_schema(spark, name):
+    """The driver canonicalizes by sorting on EVERY column; a top-level
+    array/map/struct column makes pandas sort_values raise
+    ``TypeError: unhashable type`` (the CORRECTNESS_r02 mm_features
+    failure).  Oracle-backed queries must emit only scalar columns —
+    serialize nested values (concat_ws) or posexplode them."""
+    from pyspark.sql import types as T
+
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    for f in sdf.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}: column {f.name} is {f.dataType} — driver can't sort it"
+
+
+def test_mirror_rejects_unsortable_columns():
+    """_normalize must crash on a list column exactly as the driver
+    does (sort-before-stringify), so this bug class can't pass locally
+    and fail externally again."""
+    import pandas as pd
+
+    from ner_spark.testing import _normalize
+
+    bad = pd.DataFrame({"id": [2, 1], "vec": [[0.1, 0.2], [0.3]]})
+    with pytest.raises(TypeError):
+        _normalize(bad)
