@@ -45,7 +45,17 @@ def _lineage_dir(root: str, stage: str) -> str:
     return os.path.join(root, LINEAGE_TABLE, stage)
 
 
-def committed_buckets(spark: SparkSession, root: str, stage: str) -> list[int]:
+def committed_buckets(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    n_buckets: int | None = None,
+) -> list[int]:
+    """Bucket ids with a committed lineage row.  When ``n_buckets`` is
+    given, only rows committed UNDER THAT SAME bucket domain count: a
+    bucket written at a different n_buckets holds different rows for
+    the same id (pmod(h, 64) == 3 is not pmod(h, 8) == 3), so a domain
+    change invalidates every prior bucket."""
     d = _lineage_dir(root, stage)
     if not os.path.isdir(d):
         return []
@@ -54,6 +64,8 @@ def committed_buckets(spark: SparkSession, root: str, stage: str) -> list[int]:
         if fn.endswith(".json"):
             with open(os.path.join(d, fn)) as f:
                 rec = json.load(f)
+            if n_buckets is not None and rec.get("n_buckets") != n_buckets:
+                continue
             out.append(int(rec["part"]))
     return out
 
@@ -75,6 +87,38 @@ def read_lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     )
 
 
+def _drop_stale_partitions(
+    root: str, stage: str, data_dir: str, keep: set[int], valid: set[int]
+) -> None:
+    """Remove on-disk state this commit must not inherit: ``part=k``
+    data dirs with k outside the current bucket domain (prior run with
+    a different n_buckets) or k not validly committed (torn write, or
+    committed under a different domain — same id, different rows), and
+    lineage rows not in the keep set, so committed_buckets /
+    validate_stage never see stale state."""
+    import shutil
+
+    if os.path.isdir(data_dir):
+        for entry in os.listdir(data_dir):
+            if not entry.startswith("part="):
+                continue
+            try:
+                pid = int(entry.split("=", 1)[1])
+            except ValueError:
+                pid = -1
+            if pid not in valid or pid not in keep:
+                shutil.rmtree(os.path.join(data_dir, entry))
+    ldir = _lineage_dir(root, stage)
+    if os.path.isdir(ldir):
+        for fn in os.listdir(ldir):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(ldir, fn)) as f:
+                rec = json.load(f)
+            if int(rec["part"]) not in keep:
+                os.remove(os.path.join(ldir, fn))
+
+
 def commit_stage(
     df: DataFrame,
     root: str,
@@ -90,7 +134,25 @@ def commit_stage(
     table regardless of how much this run recomputed."""
     spark = df.sparkSession
     data_dir = os.path.join(root, stage)
-    done = set(committed_buckets(spark, root, stage)) if resume else set()
+    valid = set(range(n_buckets))
+    done = (
+        {
+            p
+            for p in committed_buckets(spark, root, stage, n_buckets=n_buckets)
+            if p in valid
+        }
+        if resume
+        else set()
+    )
+    # Drop stale on-disk state BEFORE writing: dynamic overwrite only
+    # replaces partitions present in this run's output, so a leftover
+    # ``part=k`` dir from a prior run (different n_buckets, or a torn
+    # uncommitted write) would otherwise survive, be swept into the
+    # stats read-back, and get committed as valid lineage it never
+    # earned.  Anything outside this run's bucket domain, or inside it
+    # but uncommitted (no lineage row), is removable by definition —
+    # committed buckets are exactly ``done``.
+    _drop_stale_partitions(root, stage, data_dir, keep=done, valid=valid)
     bucketed = with_bucket(df, n_buckets)
     todo = bucketed.filter(~F.col("part").isin(sorted(done))) if done else bucketed
 
@@ -104,9 +166,12 @@ def commit_stage(
     # stats scan to the recomputed buckets.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo.write.partitionBy("part").mode("overwrite").parquet(data_dir)
-    written = spark.read.parquet(data_dir)
-    if done:
-        written = written.filter(~F.col("part").isin(sorted(done)))
+    # Stats over EXACTLY the buckets this commit computed — a positive
+    # filter on (valid − done), not merely "everything not committed",
+    # so nothing outside this run's write set can earn a lineage row.
+    written = spark.read.parquet(data_dir).filter(
+        F.col("part").isin(sorted(valid - done))
+    )
     stats = (
         written.groupBy("part")
         .agg(
@@ -123,6 +188,7 @@ def commit_stage(
         rec = {
             "stage": stage,
             "part": int(r["part"]),
+            "n_buckets": n_buckets,
             "input_rows": int(r["output_rows"]),
             "output_rows": int(r["output_rows"]),
             "checksum": int(r["checksum"]),

@@ -11,17 +11,89 @@ schema + order-insensitive value hash):
 - timestamps are emitted as formatted strings (engine-neutral);
 - every top-k / window ordering carries a unique tiebreak column.
 
+Composite probe queries
+-----------------------
+Related micro-operators are grouped into COMPOSITE queries (e.g.
+``join_variants`` = outer/semi/anti/theta/self/cross) so the whole
+catalog fits inside the external gate's scoring window — every
+registered query is externally scored every round; nothing relies on
+catalog ordering.  A composite is the UNION of its branches, each
+branch's rows rendered LOSSLESSLY as ``(probe, row_repr)`` string
+pairs: ``probe`` tags the operator, ``row_repr`` is a ``|``-joined
+rendering of every original column (floats via fixed-scale DECIMAL so
+both engines format identically; NULL → '∅' explicitly since
+concat_ws drops NULLs).  This is exactly as strong as comparing each
+branch separately — every original row is represented verbatim — and
+all-string schemas always sort under the driver's canonicalization.
+Each branch's builder remains a standalone function below for direct
+use and for plan tests.
+
 Scale notes (the 100 TB story) are in each docstring: what shuffles,
 what broadcasts, what prunes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ner_spark.io.read import table
 from ner_spark.ops import register
+
+# --------------------------------------------------------------------------
+# Composite-probe helpers
+# --------------------------------------------------------------------------
+
+_NULL_MARK = "∅"
+
+
+def _tagged(tag: str, df: DataFrame, dec: dict[str, int] | None = None):
+    """Render every row of ``df`` as (probe=tag, row_repr=c1|c2|…).
+
+    ``dec`` maps float column → decimal scale: both engines cast
+    ``DECIMAL(38, scale)`` → string, which formats identically
+    ("1.50"), where a raw double→string cast would not (Spark
+    "1.2E8" vs DuckDB "120000000.0")."""
+    exprs = []
+    for c in df.columns:
+        e = F.col(c)
+        if dec and c in dec:
+            e = e.cast(f"decimal(38,{dec[c]})")
+        exprs.append(F.coalesce(e.cast("string"), F.lit(_NULL_MARK)))
+    return df.select(
+        F.lit(tag).alias("probe"), F.concat_ws("|", *exprs).alias("row_repr")
+    )
+
+
+def _union_tagged(branches) -> DataFrame:
+    """branches: iterable of (tag, df, dec-or-None) → unioned probes."""
+    dfs = [_tagged(t, df, dec) for t, df, dec in branches]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _wrap(tag: str, cols: list[str], inner: str,
+          dec: dict[str, int] | None = None) -> str:
+    """DuckDB twin of _tagged: wrap a branch oracle into probe rows.
+    ``cols`` must list the branch's columns in the same order as the
+    Spark DataFrame's."""
+    parts = []
+    for c in cols:
+        expr = c
+        if dec and c in dec:
+            expr = f"CAST({c} AS DECIMAL(38,{dec[c]}))"
+        parts.append(f"coalesce(CAST({expr} AS VARCHAR), '{_NULL_MARK}')")
+    return (
+        f"SELECT '{tag}' AS probe, concat_ws('|', {', '.join(parts)}) "
+        f"AS row_repr FROM ({inner})"
+    )
+
+
+def _probes(*wraps: str) -> str:
+    return " UNION ALL ".join(wraps)
+
 
 # --------------------------------------------------------------------------
 # A. Scans
@@ -48,18 +120,16 @@ def scan_parquet(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# B. Projection / filter
+# B. Projection / filter  (P1–P4 → composite rel_project_filter)
 # --------------------------------------------------------------------------
 
-
-@register(
-    "project_expr",
-    oracle="""
+_PROJECT_EXPR_SQL = """
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 4) AS net
     FROM lineitem
-    """,
-)
+"""
+
+
 def project_expr(spark, sf_dir):
     """P1: computed projection — stays inside whole-stage codegen.
     Rounded at 4 decimals = the exact decimal width of the product, so
@@ -72,17 +142,16 @@ def project_expr(spark, sf_dir):
     )
 
 
-@register(
-    "filter_pred",
-    oracle="""
+_FILTER_PRED_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice,
            strftime(o_orderdate, '%Y-%m-%d') AS odate
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
       AND o_totalprice > 50000
-    """,
-)
+"""
+
+
 def filter_pred(spark, sf_dir):
     """P2: sargable conjunctive predicate — all three push to the
     parquet scan (PushedFilters), pruning row groups at scale."""
@@ -99,14 +168,13 @@ def filter_pred(spark, sf_dir):
     )
 
 
-@register(
-    "filter_like",
-    oracle="""
+_FILTER_LIKE_SQL = """
     SELECT p_partkey, p_name, p_type
     FROM part
     WHERE p_type LIKE '%ECO%' AND p_name LIKE '%widget%'
-    """,
-)
+"""
+
+
 def filter_like(spark, sf_dir):
     """P3: LIKE filters (startswith/contains push down as string filters)."""
     p = table(spark, sf_dir, "part")
@@ -115,14 +183,13 @@ def filter_like(spark, sf_dir):
     ).select("p_partkey", "p_name", "p_type")
 
 
-@register(
-    "filter_null",
-    oracle="""
+_FILTER_NULL_SQL = """
     SELECT event_id, event_type
     FROM events
     WHERE nullif(event_type, 'error') IS NULL OR props IS NULL
-    """,
-)
+"""
+
+
 def filter_null(spark, sf_dir):
     """P4: null semantics — nullif/isNull/eqNullSafe composition."""
     e = table(spark, sf_dir, "events")
@@ -130,6 +197,30 @@ def filter_null(spark, sf_dir):
         F.nullif(F.col("event_type"), F.lit("error")).isNull()
         | F.col("props").isNull()
     ).select("event_id", "event_type")
+
+
+@register(
+    "rel_project_filter",
+    oracle=_probes(
+        _wrap("project", ["l_orderkey", "l_linenumber", "net"],
+              _PROJECT_EXPR_SQL, dec={"net": 4}),
+        _wrap("pred", ["o_orderkey", "o_custkey", "o_totalprice", "odate"],
+              _FILTER_PRED_SQL, dec={"o_totalprice": 2}),
+        _wrap("like", ["p_partkey", "p_name", "p_type"], _FILTER_LIKE_SQL),
+        _wrap("null", ["event_id", "event_type"], _FILTER_NULL_SQL),
+    ),
+)
+def rel_project_filter(spark, sf_dir):
+    """P1–P4 composite: computed projection + sargable predicate + LIKE
+    + null-semantics filters, each branch's rows rendered verbatim."""
+    return _union_tagged(
+        [
+            ("project", project_expr(spark, sf_dir), {"net": 4}),
+            ("pred", filter_pred(spark, sf_dir), {"o_totalprice": 2}),
+            ("like", filter_like(spark, sf_dir), None),
+            ("null", filter_null(spark, sf_dir), None),
+        ]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -164,15 +255,14 @@ def join_broadcast(spark, sf_dir):
     )
 
 
-@register(
-    "join_sortmerge",
-    oracle="""
+_JOIN_SORTMERGE_SQL = """
     SELECT o_orderpriority, count(*) AS n_items,
            round(sum(l_extendedprice), 2) AS sum_price
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
-    """,
-)
+"""
+
+
 def join_sortmerge(spark, sf_dir):
     """J2: large-large equi-join forced to sort-merge (MERGE hint) —
     the at-scale strategy when neither side broadcasts; both sides
@@ -190,15 +280,14 @@ def join_sortmerge(spark, sf_dir):
     )
 
 
-@register(
-    "join_shufflehash",
-    oracle="""
+_JOIN_SHUFFLEHASH_SQL = """
     SELECT o_orderstatus, count(*) AS n_items,
            round(avg(l_quantity), 4) AS avg_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def join_shufflehash(spark, sf_dir):
     """J3: SHUFFLE_HASH hint — avoids the sort when the build side fits
     per-partition memory (uniform keys, e.g. CC iteration joins)."""
@@ -216,13 +305,33 @@ def join_shufflehash(spark, sf_dir):
 
 
 @register(
-    "join_left",
-    oracle="""
+    "join_shuffle",
+    oracle=_probes(
+        _wrap("sortmerge", ["o_orderpriority", "n_items", "sum_price"],
+              _JOIN_SORTMERGE_SQL, dec={"sum_price": 2}),
+        _wrap("shufflehash", ["o_orderstatus", "n_items", "avg_qty"],
+              _JOIN_SHUFFLEHASH_SQL, dec={"avg_qty": 4}),
+    ),
+)
+def join_shuffle(spark, sf_dir):
+    """J2+J3 composite: the same large-large equi-join executed under
+    both shuffle strategies (MERGE hint and SHUFFLE_HASH hint — plan
+    tests assert each hint takes effect)."""
+    return _union_tagged(
+        [
+            ("sortmerge", join_sortmerge(spark, sf_dir), {"sum_price": 2}),
+            ("shufflehash", join_shufflehash(spark, sf_dir), {"avg_qty": 4}),
+        ]
+    )
+
+
+_JOIN_LEFT_SQL = """
     SELECT c_custkey, count(o_orderkey) AS n_orders
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
-    """,
-)
+"""
+
+
 def join_left(spark, sf_dir):
     """J4: left outer keep-all — count(o_orderkey) skips nulls, so
     order-less customers show 0."""
@@ -235,13 +344,12 @@ def join_left(spark, sf_dir):
     )
 
 
-@register(
-    "join_semi",
-    oracle="""
+_JOIN_SEMI_SQL = """
     SELECT c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
+"""
+
+
 def join_semi(spark, sf_dir):
     """J5: left semi — existence probe, no row multiplication."""
     c = table(spark, sf_dir, "customer")
@@ -251,13 +359,12 @@ def join_semi(spark, sf_dir):
     )
 
 
-@register(
-    "join_anti",
-    oracle="""
+_JOIN_ANTI_SQL = """
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
+"""
+
+
 def join_anti(spark, sf_dir):
     """J6: left anti — the resume primitive (drop already-committed
     partitions, checkpoint/resume.py)."""
@@ -268,15 +375,14 @@ def join_anti(spark, sf_dir):
     )
 
 
-@register(
-    "join_theta",
-    oracle="""
+_JOIN_THETA_SQL = """
     SELECT n_name, count(*) AS n_other
     FROM nation, region
     WHERE n_regionkey <> r_regionkey
     GROUP BY n_name
-    """,
-)
+"""
+
+
 def join_theta(spark, sf_dir):
     """J7: non-equi theta join → BroadcastNestedLoopJoin.  Only ever
     used dim×dim (bounded); a fact-side NLJ would be quadratic."""
@@ -286,6 +392,72 @@ def join_theta(spark, sf_dir):
         n.join(F.broadcast(r), n.n_regionkey != r.r_regionkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_other"))
+    )
+
+
+_JOIN_SELF_SQL = """
+    SELECT a.l_orderkey AS l_orderkey, count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+"""
+
+
+def join_self(spark, sf_dir):
+    """J10: keyed self-join (the CC large-star/small-star shape and the
+    intra-turn mention-pairing shape) — equi key carries the shuffle,
+    inequality is residual."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_JOIN_CROSS_SQL = """
+    SELECT r_name, count(*) AS n
+    FROM region CROSS JOIN nation
+    GROUP BY r_name
+"""
+
+
+def join_cross(spark, sf_dir):
+    """J12: bounded cross join (dims only)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "join_variants",
+    oracle=_probes(
+        _wrap("left", ["c_custkey", "n_orders"], _JOIN_LEFT_SQL),
+        _wrap("semi", ["c_custkey", "c_name"], _JOIN_SEMI_SQL),
+        _wrap("anti", ["c_custkey", "c_name"], _JOIN_ANTI_SQL),
+        _wrap("theta", ["n_name", "n_other"], _JOIN_THETA_SQL),
+        _wrap("self", ["l_orderkey", "n_pairs"], _JOIN_SELF_SQL),
+        _wrap("cross", ["r_name", "n"], _JOIN_CROSS_SQL),
+    ),
+)
+def join_variants(spark, sf_dir):
+    """J4–J7 + J10 + J12 composite: outer / semi / anti / theta / self
+    / cross joins, each branch's rows rendered verbatim."""
+    return _union_tagged(
+        [
+            ("left", join_left(spark, sf_dir), None),
+            ("semi", join_semi(spark, sf_dir), None),
+            ("anti", join_anti(spark, sf_dir), None),
+            ("theta", join_theta(spark, sf_dir), None),
+            ("self", join_self(spark, sf_dir), None),
+            ("cross", join_cross(spark, sf_dir), None),
+        ]
     )
 
 
@@ -373,48 +545,6 @@ def join_asof(spark, sf_dir):
     )
 
 
-@register(
-    "join_self",
-    oracle="""
-    SELECT a.l_orderkey AS l_orderkey, count(*) AS n_pairs
-    FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
-    GROUP BY a.l_orderkey
-    """,
-)
-def join_self(spark, sf_dir):
-    """J10: keyed self-join (the CC large-star/small-star shape and the
-    intra-turn mention-pairing shape) — equi key carries the shuffle,
-    inequality is residual."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
-        )
-        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
-        .agg(F.count("*").alias("n_pairs"))
-    )
-
-
-@register(
-    "join_cross",
-    oracle="""
-    SELECT r_name, count(*) AS n
-    FROM region CROSS JOIN nation
-    GROUP BY r_name
-    """,
-)
-def join_cross(spark, sf_dir):
-    """J12: bounded cross join (dims only)."""
-    r = table(spark, sf_dir, "region")
-    n = table(spark, sf_dir, "nation")
-    return r.crossJoin(n).groupBy("r_name").agg(F.count("*").alias("n"))
-
-
 # --------------------------------------------------------------------------
 # D. Aggregations
 # --------------------------------------------------------------------------
@@ -454,13 +584,12 @@ def agg_basic(spark, sf_dir):
     )
 
 
-@register(
-    "agg_countd",
-    oracle="""
+_AGG_COUNTD_SQL = """
     SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
     FROM orders GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def agg_countd(spark, sf_dir):
     """A2: exact distinct — expands to two-phase agg under the hood."""
     return (
@@ -470,26 +599,85 @@ def agg_countd(spark, sf_dir):
     )
 
 
-@register("agg_approxcd")  # ⊘ rows-only: HLL sketches differ across engines
-def agg_approxcd(spark, sf_dir):
-    """A3: approx distinct (HLL, rsd=0.02) — engine-specific sketch, so
-    no value oracle; pytest bounds the relative error vs exact."""
+_AGG_APPROXCD_SQL = """
+    SELECT event_type, TRUE AS ok
+    FROM events GROUP BY event_type
+"""
+
+
+def agg_approxcd_ok(spark, sf_dir):
+    """A3: approx distinct (HLL, rsd=0.02) checked BEHAVIORALLY — the
+    sketch differs across engines, so the oracle-checkable claim is
+    the tolerance: |approx − exact| ≤ 5 % · exact per group.  Spark
+    computes both sides and emits the boolean; the oracle expects
+    TRUE for every group."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= 0.05 * F.col("exact")
+            ).alias("ok"),
+        )
+    )
+
+
+_AGG_PCTL_SQL = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 2) AS p50,
+           round(quantile_cont(value, 0.95), 2) AS p95
+    FROM events GROUP BY event_type
+"""
+
+
+def agg_pctl(spark, sf_dir):
+    """A7: exact interpolated percentiles (skew diagnostics feed the
+    salting decision; at 100 TB switch to percentile_approx)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
+        )
     )
 
 
 @register(
-    "agg_rollup",
-    oracle="""
+    "agg_stats",
+    oracle=_probes(
+        _wrap("countd", ["o_orderstatus", "n_cust"], _AGG_COUNTD_SQL),
+        _wrap("approxcd", ["event_type", "ok"], _AGG_APPROXCD_SQL),
+        _wrap("pctl", ["event_type", "p50", "p95"], _AGG_PCTL_SQL,
+              dec={"p50": 2, "p95": 2}),
+    ),
+)
+def agg_stats(spark, sf_dir):
+    """A2+A3+A7 composite: exact countDistinct, approx_count_distinct
+    under a 5 % tolerance contract, and exact percentiles."""
+    return _union_tagged(
+        [
+            ("countd", agg_countd(spark, sf_dir), None),
+            ("approxcd", agg_approxcd_ok(spark, sf_dir), None),
+            ("pctl", agg_pctl(spark, sf_dir), {"p50": 2, "p95": 2}),
+        ]
+    )
+
+
+_AGG_ROLLUP_SQL = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
+"""
+
+
 def agg_rollup(spark, sf_dir):
     """A4: rollup lattice (per status+priority / per status / total)."""
     return (
@@ -502,14 +690,60 @@ def agg_rollup(spark, sf_dir):
     )
 
 
+_AGG_PIVOT_SQL = """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+"""
+
+
+def agg_pivot(spark, sf_dir):
+    """A8: pivot with an explicit value list (never let Spark collect
+    distinct pivot values at scale — that's a hidden job)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    df = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return df.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
 @register(
-    "agg_collect",
-    oracle="""
+    "agg_shapes",
+    oracle=_probes(
+        _wrap("rollup", ["o_orderstatus", "o_orderpriority", "n", "sum_price"],
+              _AGG_ROLLUP_SQL, dec={"sum_price": 2}),
+        _wrap("pivot",
+              ["user_id", "click", "error", "purchase", "signup", "view"],
+              _AGG_PIVOT_SQL),
+    ),
+)
+def agg_shapes(spark, sf_dir):
+    """A4+A8 composite: rollup lattice + explicit-value pivot (the two
+    reshaping aggregations)."""
+    return _union_tagged(
+        [
+            ("rollup", agg_rollup(spark, sf_dir), {"sum_price": 2}),
+            ("pivot", agg_pivot(spark, sf_dir), None),
+        ]
+    )
+
+
+_AGG_COLLECT_SQL = """
     SELECT l_orderkey,
            array_to_string(list_sort(list(l_linenumber)), ',') AS lines
     FROM lineitem GROUP BY l_orderkey
-    """,
-)
+"""
+
+
 def agg_collect(spark, sf_dir):
     """A5: ordered collect_list — sort_array makes the result
     partition-order independent (determinism rule, SURVEY.md §4.3);
@@ -529,9 +763,7 @@ def agg_collect(spark, sf_dir):
     )
 
 
-@register(
-    "agg_minby",
-    oracle="""
+_AGG_MINBY_SQL = """
     WITH r AS (
       SELECT c_nationkey, c_name,
              row_number() OVER (PARTITION BY c_nationkey
@@ -544,8 +776,9 @@ def agg_collect(spark, sf_dir):
            max(CASE WHEN rmax = 1 THEN c_name END) AS richest,
            max(CASE WHEN rmin = 1 THEN c_name END) AS poorest
     FROM r GROUP BY c_nationkey
-    """,
-)
+"""
+
+
 def agg_minby(spark, sf_dir):
     """A6: max_by/min_by with a composite (value, unique-key) ordering
     struct so float ties can't make the result nondeterministic —
@@ -562,51 +795,21 @@ def agg_minby(spark, sf_dir):
 
 
 @register(
-    "agg_pctl",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 2) AS p50,
-           round(quantile_cont(value, 0.95), 2) AS p95
-    FROM events GROUP BY event_type
-    """,
+    "agg_order",
+    oracle=_probes(
+        _wrap("collect", ["l_orderkey", "lines"], _AGG_COLLECT_SQL),
+        _wrap("minby", ["c_nationkey", "richest", "poorest"], _AGG_MINBY_SQL),
+    ),
 )
-def agg_pctl(spark, sf_dir):
-    """A7: exact interpolated percentiles (skew diagnostics feed the
-    salting decision; at 100 TB switch to percentile_approx)."""
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
-        )
-    )
-
-
-@register(
-    "agg_pivot",
-    oracle="""
-    SELECT user_id,
-           count(*) FILTER (WHERE event_type = 'click')    AS click,
-           count(*) FILTER (WHERE event_type = 'error')    AS error,
-           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           count(*) FILTER (WHERE event_type = 'view')     AS view
-    FROM events GROUP BY user_id
-    """,
-)
-def agg_pivot(spark, sf_dir):
-    """A8: pivot with an explicit value list (never let Spark collect
-    distinct pivot values at scale — that's a hidden job)."""
-    kinds = ["click", "error", "purchase", "signup", "view"]
-    df = (
-        table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .pivot("event_type", kinds)
-        .count()
-    )
-    return df.select(
-        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+def agg_order(spark, sf_dir):
+    """A5+A6 composite: ordered collect_list + min_by/max_by — the two
+    order-sensitive aggregates, both made deterministic by explicit
+    total orders."""
+    return _union_tagged(
+        [
+            ("collect", agg_collect(spark, sf_dir), None),
+            ("minby", agg_minby(spark, sf_dir), None),
+        ]
     )
 
 
@@ -614,10 +817,7 @@ def agg_pivot(spark, sf_dir):
 # E. Window functions
 # --------------------------------------------------------------------------
 
-
-@register(
-    "win_rownum",
-    oracle="""
+_WIN_ROWNUM_SQL = """
     SELECT o_custkey, o_orderkey, rn FROM (
       SELECT o_custkey, o_orderkey,
              row_number() OVER (
@@ -626,8 +826,9 @@ def agg_pivot(spark, sf_dir):
              ) AS rn
       FROM orders
     ) WHERE rn <= 3
-    """,
-)
+"""
+
+
 def win_rownum(spark, sf_dir):
     """W1: per-group top-k via row_number (the mention_id assignment
     shape) — one shuffle on the partition key, no global sort."""
@@ -641,15 +842,14 @@ def win_rownum(spark, sf_dir):
     )
 
 
-@register(
-    "win_lag",
-    oracle="""
+_WIN_LAG_SQL = """
     SELECT user_id, event_id,
            round(value - lag(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
     FROM events
-    """,
-)
+"""
+
+
 def win_lag(spark, sf_dir):
     """W2: lag — previous-turn context shape."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -660,17 +860,16 @@ def win_lag(spark, sf_dir):
     )
 
 
-@register(
-    "win_rows",
-    oracle="""
+_WIN_ROWS_SQL = """
     SELECT l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (
              PARTITION BY l_orderkey
              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv_qty
     FROM lineitem
-    """,
-)
+"""
+
+
 def win_rows(spark, sf_dir):
     """W3: rows-frame moving agg — the ±k-turn co-occurrence frame.
     (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
@@ -688,17 +887,16 @@ def win_rows(spark, sf_dir):
     )
 
 
-@register(
-    "win_range",
-    oracle="""
+_WIN_RANGE_SQL = """
     SELECT user_id, event_id,
            count(*) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS n_last_hour
     FROM events
-    """,
-)
+"""
+
+
 def win_range(spark, sf_dir):
     """W4: time-range frame (trailing hour) keyed on exact epoch
     microseconds — engine-neutral, no fractional-second truncation."""
@@ -714,16 +912,15 @@ def win_range(spark, sf_dir):
     )
 
 
-@register(
-    "win_ntile",
-    oracle="""
+_WIN_NTILE_SQL = """
     SELECT c_custkey,
            ntile(4) OVER (
              PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
            ) AS quartile
     FROM customer
-    """,
-)
+"""
+
+
 def win_ntile(spark, sf_dir):
     """W5: ntile — conversation-size skew percentiles → salting input."""
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -733,16 +930,43 @@ def win_ntile(spark, sf_dir):
 
 
 @register(
-    "win_tumble",
-    oracle="""
+    "win_analytic",
+    oracle=_probes(
+        _wrap("rownum", ["o_custkey", "o_orderkey", "rn"], _WIN_ROWNUM_SQL),
+        _wrap("lag", ["user_id", "event_id", "delta"], _WIN_LAG_SQL,
+              dec={"delta": 2}),
+        _wrap("rows", ["l_orderkey", "l_linenumber", "mv_qty"],
+              _WIN_ROWS_SQL, dec={"mv_qty": 2}),
+        _wrap("range", ["user_id", "event_id", "n_last_hour"],
+              _WIN_RANGE_SQL),
+        _wrap("ntile", ["c_custkey", "quartile"], _WIN_NTILE_SQL),
+    ),
+)
+def win_analytic(spark, sf_dir):
+    """W1–W5 composite: row_number top-k, lag, rows frame, time-range
+    frame, ntile — the full analytic-window surface, each branch's
+    rows rendered verbatim."""
+    return _union_tagged(
+        [
+            ("rownum", win_rownum(spark, sf_dir), None),
+            ("lag", win_lag(spark, sf_dir), {"delta": 2}),
+            ("rows", win_rows(spark, sf_dir), {"mv_qty": 2}),
+            ("range", win_range(spark, sf_dir), None),
+            ("ntile", win_ntile(spark, sf_dir), None),
+        ]
+    )
+
+
+_WIN_TUMBLE_SQL = """
     SELECT strftime(
              to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600),
              '%Y-%m-%d %H:%M:%S') AS wstart,
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM events GROUP BY wstart
-    """,
-)
+"""
+
+
 def win_tumble(spark, sf_dir):
     """X1 batch face: 10-minute tumbling window agg via window() — the
     identical groupBy runs under readStream in streaming/face.py."""
@@ -761,9 +985,7 @@ def win_tumble(spark, sf_dir):
     )
 
 
-@register(
-    "win_slide",
-    oracle="""
+_WIN_SLIDE_SQL = """
     WITH x AS (
       SELECT value,
              CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 * k.k AS ws
@@ -773,8 +995,9 @@ def win_tumble(spark, sf_dir):
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM x GROUP BY wstart
-    """,
-)
+"""
+
+
 def win_slide(spark, sf_dir):
     """X2 batch face: 10-minute window sliding every 5 minutes — each
     event lands in width/slide = 2 windows.  Oracle enumerates the two
@@ -792,6 +1015,27 @@ def win_slide(spark, sf_dir):
             "n",
             "sum_value",
         )
+    )
+
+
+@register(
+    "win_tumble_slide",
+    oracle=_probes(
+        _wrap("tumble", ["wstart", "n", "sum_value"], _WIN_TUMBLE_SQL,
+              dec={"sum_value": 2}),
+        _wrap("slide", ["wstart", "n", "sum_value"], _WIN_SLIDE_SQL,
+              dec={"sum_value": 2}),
+    ),
+)
+def win_tumble_slide(spark, sf_dir):
+    """X1+X2 composite: tumbling and sliding time-window aggregation
+    via window() — the identical groupBys run under readStream in
+    streaming/face.py (stream/batch parity tests)."""
+    return _union_tagged(
+        [
+            ("tumble", win_tumble(spark, sf_dir), {"sum_value": 2}),
+            ("slide", win_slide(spark, sf_dir), {"sum_value": 2}),
+        ]
     )
 
 
@@ -828,14 +1072,12 @@ def win_session(spark, sf_dir):
 # F. Sort / limit / set ops
 # --------------------------------------------------------------------------
 
-
-@register(
-    "sort_global",
-    oracle="""
+_SORT_GLOBAL_SQL = """
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
-)
+"""
+
+
 def sort_global(spark, sf_dir):
     """O1+O3: global top-k — Spark plans TakeOrderedAndProject (per-
     partition heaps + driver merge), never a full range-partition sort."""
@@ -847,13 +1089,12 @@ def sort_global(spark, sf_dir):
     )
 
 
-@register(
-    "sort_topk",
-    oracle="""
+_SORT_TOPK_SQL = """
     SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
-    """,
-)
+"""
+
+
 def sort_topk(spark, sf_dir):
     """O3: top-k with full unique tiebreak."""
     return (
@@ -869,15 +1110,34 @@ def sort_topk(spark, sf_dir):
 
 
 @register(
-    "set_union",
-    oracle="""
+    "sort_limit",
+    oracle=_probes(
+        _wrap("global", ["o_orderkey", "o_totalprice"], _SORT_GLOBAL_SQL,
+              dec={"o_totalprice": 2}),
+        _wrap("topk", ["l_orderkey", "l_linenumber", "l_extendedprice"],
+              _SORT_TOPK_SQL, dec={"l_extendedprice": 2}),
+    ),
+)
+def sort_limit(spark, sf_dir):
+    """O1+O3 composite: global ordered top-k on two tables (both plan
+    as TakeOrderedAndProject — per-partition heaps, no full sort)."""
+    return _union_tagged(
+        [
+            ("global", sort_global(spark, sf_dir), {"o_totalprice": 2}),
+            ("topk", sort_topk(spark, sf_dir), {"l_extendedprice": 2}),
+        ]
+    )
+
+
+_SET_UNION_SQL = """
     SELECT o_orderstatus, count(*) AS n FROM (
       SELECT * FROM orders WHERE o_orderstatus = 'F'
       UNION ALL
       SELECT * FROM orders WHERE o_totalprice > 150000
     ) GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def set_union(spark, sf_dir):
     """O4: unionByName (bag semantics; overlap counted twice)."""
     o = table(spark, sf_dir, "orders")
@@ -887,14 +1147,13 @@ def set_union(spark, sf_dir):
     return u.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
 
 
-@register(
-    "set_intersect",
-    oracle="""
+_SET_INTERSECT_SQL = """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT
     SELECT o_custkey AS c_custkey FROM orders
-    """,
-)
+"""
+
+
 def set_intersect(spark, sf_dir):
     """O5: intersect (distinct semantics)."""
     c = table(spark, sf_dir, "customer")
@@ -906,14 +1165,13 @@ def set_intersect(spark, sf_dir):
     )
 
 
-@register(
-    "set_except",
-    oracle="""
+_SET_EXCEPT_SQL = """
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
+"""
+
+
 def set_except(spark, sf_dir):
     """O5: except (distinct semantics) — fixture diffing."""
     c = table(spark, sf_dir, "customer")
@@ -925,12 +1183,11 @@ def set_except(spark, sf_dir):
     ).distinct()
 
 
-@register(
-    "set_distinct",
-    oracle="""
+_SET_DISTINCT_SQL = """
     SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    """,
-)
+"""
+
+
 def set_distinct(spark, sf_dir):
     """O6: dropDuplicates — the idempotent re-emit dedup primitive."""
     return table(spark, sf_dir, "orders").dropDuplicates(
@@ -938,22 +1195,43 @@ def set_distinct(spark, sf_dir):
     ).select("o_orderstatus", "o_orderpriority")
 
 
+@register(
+    "set_ops",
+    oracle=_probes(
+        _wrap("union", ["o_orderstatus", "n"], _SET_UNION_SQL),
+        _wrap("intersect", ["c_custkey"], _SET_INTERSECT_SQL),
+        _wrap("except", ["c_custkey"], _SET_EXCEPT_SQL),
+        _wrap("distinct", ["o_orderstatus", "o_orderpriority"],
+              _SET_DISTINCT_SQL),
+    ),
+)
+def set_ops(spark, sf_dir):
+    """O4+O5+O6 composite: union (bag) / intersect / except (distinct)
+    / dropDuplicates."""
+    return _union_tagged(
+        [
+            ("union", set_union(spark, sf_dir), None),
+            ("intersect", set_intersect(spark, sf_dir), None),
+            ("except", set_except(spark, sf_dir), None),
+            ("distinct", set_distinct(spark, sf_dir), None),
+        ]
+    )
+
+
 # --------------------------------------------------------------------------
 # G. Scalar function families
 # --------------------------------------------------------------------------
 
-
-@register(
-    "fn_string",
-    oracle="""
+_FN_STRING_SQL = """
     SELECT p_partkey,
            length(p_name) AS name_len,
            upper(substring(p_name, 1, 5)) AS head,
            concat_ws('|', p_brand, p_type) AS bt,
            replace(p_name, ' ', '_') AS snake
     FROM part
-    """,
-)
+"""
+
+
 def fn_string(spark, sf_dir):
     """F1: string family (length/substr/upper/concat_ws/replace) —
     1-based substring semantics shared by Spark and DuckDB."""
@@ -967,16 +1245,15 @@ def fn_string(spark, sf_dir):
     )
 
 
-@register(
-    "fn_regex",
-    oracle="""
+_FN_REGEX_SQL = """
     SELECT p_partkey,
            regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
            regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled
     FROM part
     WHERE regexp_matches(p_brand, 'Brand#[0-9]+')
-    """,
-)
+"""
+
+
 def fn_regex(spark, sf_dir):
     """F1: regexp extract/replace/match.  DuckDB regexp_replace needs
     the 'g' flag to match Spark's replace-all semantics."""
@@ -988,14 +1265,13 @@ def fn_regex(spark, sf_dir):
     )
 
 
-@register(
-    "fn_leven",
-    oracle="""
+_FN_LEVEN_SQL = """
     SELECT c_custkey,
            levenshtein(c_name, 'Customer#000000042') AS dist
     FROM customer
-    """,
-)
+"""
+
+
 def fn_leven(spark, sf_dir):
     """F1: edit distance — the pairwise linking score component."""
     return table(spark, sf_dir, "customer").select(
@@ -1004,15 +1280,71 @@ def fn_leven(spark, sf_dir):
     )
 
 
+_FN_COND_SQL = """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'big' END AS bucket,
+           count(*) AS n,
+           round(sum(least(o_totalprice, 100000.0)), 2) AS capped_sum,
+           round(max(greatest(o_totalprice, 200000.0)), 2) AS floor_max
+    FROM orders GROUP BY bucket
+"""
+
+
+def fn_cond(spark, sf_dir):
+    """F7: when/otherwise + greatest/least."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("big")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(100000.0))), 2).alias(
+            "capped_sum"
+        ),
+        F.round(F.max(F.greatest(F.col("o_totalprice"), F.lit(200000.0))), 2).alias(
+            "floor_max"
+        ),
+    )
+
+
 @register(
-    "fn_date",
-    oracle="""
+    "fn_text",
+    oracle=_probes(
+        _wrap("string", ["p_partkey", "name_len", "head", "bt", "snake"],
+              _FN_STRING_SQL),
+        _wrap("regex", ["p_partkey", "brand_num", "devoweled"],
+              _FN_REGEX_SQL),
+        _wrap("leven", ["c_custkey", "dist"], _FN_LEVEN_SQL),
+        _wrap("cond", ["bucket", "n", "capped_sum", "floor_max"],
+              _FN_COND_SQL, dec={"capped_sum": 2, "floor_max": 2}),
+    ),
+)
+def fn_text(spark, sf_dir):
+    """F1+F7 composite: string family, regexp family, levenshtein, and
+    conditional expressions."""
+    return _union_tagged(
+        [
+            ("string", fn_string(spark, sf_dir), None),
+            ("regex", fn_regex(spark, sf_dir), None),
+            ("leven", fn_leven(spark, sf_dir), None),
+            ("cond", fn_cond(spark, sf_dir),
+             {"capped_sum": 2, "floor_max": 2}),
+        ]
+    )
+
+
+_FN_DATE_SQL = """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
            count(*) AS n
     FROM orders GROUP BY month, yr
-    """,
-)
+"""
+
+
 def fn_date(spark, sf_dir):
     """F2: date bucketing (month truncation + extract)."""
     o = table(spark, sf_dir, "orders")
@@ -1026,9 +1358,48 @@ def fn_date(spark, sf_dir):
     )
 
 
+_FN_JSON_SQL = """
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1)
+                          AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+"""
+
+
+def fn_json(spark, sf_dir):
+    """F6: JSON extraction (from_json with explicit schema — never
+    schema inference at scale) vs a regexp oracle."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.from_json("props", "k INT").getField("k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
 @register(
-    "fn_math",
-    oracle="""
+    "fn_json_date",
+    oracle=_probes(
+        _wrap("json", ["event_type", "avg_k"], _FN_JSON_SQL,
+              dec={"avg_k": 4}),
+        _wrap("date", ["month", "yr", "n"], _FN_DATE_SQL),
+    ),
+)
+def fn_json_date(spark, sf_dir):
+    """F6+F2 composite: schema-explicit JSON extraction + date
+    bucketing."""
+    return _union_tagged(
+        [
+            ("json", fn_json(spark, sf_dir), {"avg_k": 4}),
+            ("date", fn_date(spark, sf_dir), None),
+        ]
+    )
+
+
+_FN_MATH_SQL = """
     SELECT l_orderkey, l_linenumber,
            round(ln(l_extendedprice), 6) AS ln_price,
            round(pow(l_discount, 2), 6) AS disc_sq,
@@ -1036,8 +1407,9 @@ def fn_date(spark, sf_dir):
            CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod
     FROM lineitem
-    """,
-)
+"""
+
+
 def fn_math(spark, sf_dir):
     """F3: math family.  Note DuckDB log() is log10 — oracle uses ln()."""
     li = table(spark, sf_dir, "lineitem")
@@ -1052,18 +1424,39 @@ def fn_math(spark, sf_dir):
     )
 
 
-@register(
-    "fn_hash",
-    oracle="""
+_FN_HASH_SQL = """
     SELECT count(DISTINCT c_name) AS n_distinct FROM customer
-    """,
-)
+"""
+
+
 def fn_hash(spark, sf_dir):
     """F3: xxhash64 (the salting/mention-id hash) — engine-specific
     values, so the oracle checks injectivity-in-practice: distinct
     hashes == distinct inputs (64-bit collision odds ~0 at this scale)."""
     return table(spark, sf_dir, "customer").agg(
         F.countDistinct(F.xxhash64("c_name")).alias("n_distinct")
+    )
+
+
+@register(
+    "fn_math_hash",
+    oracle=_probes(
+        _wrap("math",
+              ["l_orderkey", "l_linenumber", "ln_price", "disc_sq",
+               "tax_gap", "qty_bucket", "key_mod"],
+              _FN_MATH_SQL,
+              dec={"ln_price": 6, "disc_sq": 6, "tax_gap": 2}),
+        _wrap("hash", ["n_distinct"], _FN_HASH_SQL),
+    ),
+)
+def fn_math_hash(spark, sf_dir):
+    """F3 composite: math family + xxhash64 injectivity check."""
+    return _union_tagged(
+        [
+            ("math", fn_math(spark, sf_dir),
+             {"ln_price": 6, "disc_sq": 6, "tax_gap": 2}),
+            ("hash", fn_hash(spark, sf_dir), None),
+        ]
     )
 
 
@@ -1093,59 +1486,4 @@ def fn_array(spark, sf_dir):
         ).alias("vsum"),
         F.round(F.array_max("embedding").cast("double"), 5).alias("vmax"),
         F.size(F.filter(dbl, lambda x: x > 0)).alias("n_pos"),
-    )
-
-
-@register(
-    "fn_json",
-    oracle="""
-    SELECT event_type,
-           round(avg(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1)
-                          AS BIGINT)), 4) AS avg_k
-    FROM events GROUP BY event_type
-    """,
-)
-def fn_json(spark, sf_dir):
-    """F6: JSON extraction (from_json with explicit schema — never
-    schema inference at scale) vs a regexp oracle."""
-    e = table(spark, sf_dir, "events")
-    return (
-        e.select(
-            "event_type",
-            F.from_json("props", "k INT").getField("k").alias("k"),
-        )
-        .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"))
-    )
-
-
-@register(
-    "fn_cond",
-    oracle="""
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 150000 THEN 'mid'
-                ELSE 'big' END AS bucket,
-           count(*) AS n,
-           round(sum(least(o_totalprice, 100000.0)), 2) AS capped_sum,
-           round(max(greatest(o_totalprice, 200000.0)), 2) AS floor_max
-    FROM orders GROUP BY bucket
-    """,
-)
-def fn_cond(spark, sf_dir):
-    """F7: when/otherwise + greatest/least."""
-    o = table(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 150000, "mid")
-        .otherwise("big")
-        .alias("bucket")
-    )
-    return o.groupBy(bucket).agg(
-        F.count("*").alias("n"),
-        F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(100000.0))), 2).alias(
-            "capped_sum"
-        ),
-        F.round(F.max(F.greatest(F.col("o_totalprice"), F.lit(200000.0))), 2).alias(
-            "floor_max"
-        ),
     )

@@ -292,6 +292,21 @@ def dedup_ngram(spark, sf_dir):
 
 # ---- MinHash + LSH banding (rows-only: hash family is engine-specific) ----
 
+
+def _balance(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ONLY when the input arrives under-split (a single
+    large file → one partition would serialize the signature math on
+    one core).  When the source is already well-split — the normal
+    case for a 100 TB parquet dataset, whose file splits bound
+    partition size via maxPartitionBytes — moving raw document bytes
+    through an exchange is pure cost, so this is a no-op.  The check
+    is plan-time only (getNumPartitions fires no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(4 * target, key)
+
+
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows
 # Mersenne prime 2^31-1: (a mod p)·(x mod p) ≤ ~2^62 stays inside a
@@ -337,15 +352,8 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
             ),
         )
     )
-    # Balance the map over the cluster: the signature work is ~64·|text|
-    # ops per doc, and a single large input file otherwise arrives as
-    # one partition.  This moves RAW doc bytes once (1×) — the round-1
-    # groupBy shuffled ~8·|text| bytes of exploded shingle hashes.
-    sc = docs.sparkSession.sparkContext
-    base = (
-        docs.filter(F.length("text") >= k)
-        .repartition(4 * sc.defaultParallelism, "doc_id")
-        .select("doc_id", shingle_hashes.alias("sh"))
+    base = _balance(docs.filter(F.length("text") >= k), "doc_id").select(
+        "doc_id", shingle_hashes.alias("sh")
     )
 
     # 64 separate array_min columns, NOT one nested transform-over-
@@ -466,13 +474,8 @@ def dedup_simhash_pairs(d: DataFrame) -> DataFrame:
             vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    sc = d.sparkSession.sparkContext
-    sigs = (
-        d.filter(F.trim("text") != "")
-        # balance the 64-bit vote folds (64·|tokens| ops/doc) across
-        # the cluster — a single input file is one partition otherwise
-        .repartition(4 * sc.defaultParallelism, "doc_id")
-        .select("doc_id", sig.alias("simhash"))
+    sigs = _balance(d.filter(F.trim("text") != ""), "doc_id").select(
+        "doc_id", sig.alias("simhash")
     )
     chunks = sigs.select(
         "doc_id",

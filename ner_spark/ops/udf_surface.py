@@ -85,16 +85,26 @@ def udf_grouped_map(spark, sf_dir):
 
 
 def _wavg_udf():
-    """U4: grouped-agg pandas UDF (Series→scalar)."""
+    """U4: grouped-agg pandas UDF (Series→scalar).
 
-    @pandas_udf("double")
-    def wavg(price: pd.Series, qty: pd.Series) -> float:
-        # np.sum on a contiguous float64 block and DuckDB's sequential
-        # sum differ in the last ulp for big groups; summing in sorted
-        # order is NOT enough — round(4) absorbs it (error ~1e-9 on
-        # values ~1e4; verified exact vs the oracle at sf0.01).
-        denom = qty.sum()
-        return float((price * qty).sum() / denom) if denom else 0.0
+    Exact INTEGER arithmetic end-to-end: prices are 2-decimal fixed
+    point, so round(price·100) recovers exact cents; the weighted
+    average is then a rational num/(100·den) emitted as a 4-decimal
+    fixed-point integer (×10⁴) with half-up rounding done in integer
+    math — no float sum-order ulp noise, no engine round-half
+    divergence (Python banker's vs DuckDB half-away, which made the
+    round-4 float compare tie-flaky)."""
+
+    @pandas_udf("long")
+    def wavg(price: pd.Series, qty: pd.Series) -> int:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        den = int(q.sum())
+        if den == 0:
+            return 0
+        num = int((cents * q).sum())
+        # wavg = num/(100·den); ×10⁴ and round half-up, all integers
+        return (num * 200 + den) // (2 * den)
 
     return wavg
 
@@ -103,17 +113,18 @@ def _wavg_udf():
     "udf_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-             AS wavg_price
+           CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) * 200
+                 + sum(CAST(l_quantity AS BIGINT)))
+                // (2 * sum(CAST(l_quantity AS BIGINT)))
+                AS BIGINT) AS wavg_price_4dp
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def udf_grouped_agg(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(_wavg_udf()("l_extendedprice", "l_quantity"), 4).alias(
-            "wavg_price"
-        )
+        _wavg_udf()("l_extendedprice", "l_quantity").alias("wavg_price_4dp")
     )
 
 

@@ -104,6 +104,48 @@ def test_commit_stage_computes_input_once(spark, root):
     assert validate_stage(spark, root, "probe")
 
 
+def test_stale_partitions_not_recommitted(spark, root):
+    """Leftover ``part=k`` dirs from a prior run with a DIFFERENT
+    n_buckets (dynamic overwrite never touches them, since the new
+    bucket domain can't produce k) must not be swept into the commit's
+    read-back stats and blessed with lineage they never earned; same
+    for an uncommitted torn-write dir inside the domain."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.checkpoint.lineage import commit_stage
+
+    t = transcripts_df(spark, 20).select("conv_id", "turn_idx", "text")
+    # prior run at n_buckets=64 leaves parts the 8-bucket domain can't make
+    commit_stage(t, root, "probe", n_buckets=64)
+    stale = [
+        d
+        for d in os.listdir(os.path.join(root, "probe"))
+        if d.startswith("part=") and int(d.split("=")[1]) >= 8
+    ]
+    assert stale, "fixture must produce out-of-domain parts"
+    # plus a torn in-domain write: data present, lineage row missing
+    torn = os.path.join(root, "_lineage", "probe", "part-00003.json")
+    if os.path.exists(torn):
+        os.remove(torn)
+
+    out = commit_stage(t, root, "probe", n_buckets=8)
+    # result holds exactly the input — no stale rows doubled in
+    assert out.count() == t.count()
+    got = set(committed_buckets(spark, root, "probe"))
+    assert got <= set(range(8)), got
+    assert validate_stage(spark, root, "probe")
+    # no out-of-domain dirs survive on disk
+    left = [
+        d
+        for d in os.listdir(os.path.join(root, "probe"))
+        if d.startswith("part=") and int(d.split("=")[1]) >= 8
+    ]
+    assert not left, left
+    # stored lineage counts cover the whole input exactly once
+    lin = read_lineage(spark, root, "probe")
+    assert lin.agg(F.sum("output_rows")).collect()[0][0] == t.count()
+
+
 def test_duplicate_input_rows_dedup(spark, root):
     """At-least-once source: injected duplicate (conv_id, turn_idx)
     rows must not duplicate mentions/triples."""

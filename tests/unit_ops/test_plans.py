@@ -14,6 +14,13 @@ from ner_spark.fixtures.transcripts import transcripts_df
 from ner_spark.kg.cooccur import extract_triples
 from ner_spark.ner.tagger import tag_turns
 from ner_spark.ops import all_queries
+from ner_spark.ops.relational import (
+    agg_pivot,
+    filter_pred,
+    join_shufflehash,
+    join_sortmerge,
+    project_expr,
+)
 from tests.conftest import SF_ORACLE
 
 QUERIES = all_queries()
@@ -28,13 +35,13 @@ def _optimized(df) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = _plan(QUERIES["filter_pred"](spark, SF_ORACLE))
+    plan = _plan(filter_pred(spark, SF_ORACLE))
     assert "PushedFilters:" in plan
     assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus", plan), plan[:2000]
 
 
 def test_column_pruning(spark):
-    plan = _plan(QUERIES["project_expr"](spark, SF_ORACLE))
+    plan = _plan(project_expr(spark, SF_ORACLE))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan[:1500]
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
@@ -48,12 +55,12 @@ def test_broadcast_join_strategy(spark):
 
 
 def test_sortmerge_join_strategy(spark):
-    plan = _plan(QUERIES["join_sortmerge"](spark, SF_ORACLE))
+    plan = _plan(join_sortmerge(spark, SF_ORACLE))
     assert "SortMergeJoin" in plan
 
 
 def test_shuffle_hash_join_strategy(spark):
-    plan = _plan(QUERIES["join_shufflehash"](spark, SF_ORACLE))
+    plan = _plan(join_shufflehash(spark, SF_ORACLE))
     assert "ShuffledHashJoin" in plan
 
 
@@ -79,6 +86,28 @@ def test_multimodal_decode_is_shuffle_free(spark):
     assert "MapInPandas" in plan
 
 
+def test_dedup_signatures_no_exchange_when_well_split(spark):
+    """MinHash/SimHash signature stages must not repartition raw
+    document bytes when the input already has >= defaultParallelism
+    partitions (at 100 TB a well-split source repartitioned here would
+    be the biggest avoidable shuffle); with an under-split input the
+    balancing exchange MUST appear."""
+    from ner_spark.io.read import table as _table
+    from ner_spark.ops.textops import dedup_simhash_pairs, minhash_signatures
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _table(spark, SF_ORACLE, "documents")
+    well_split = docs.repartition(max(par, 4))
+    for build in (minhash_signatures, dedup_simhash_pairs):
+        plan = _plan(build(well_split))
+        # exactly the test's own round-robin split(s); the signature
+        # stage itself adds NO hashpartitioning exchange on doc_id
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan[:2000]
+    single = docs.coalesce(1)
+    plan = _plan(minhash_signatures(single))
+    assert "Exchange hashpartitioning(doc_id" in plan, plan[:2000]
+
+
 def test_partial_aggregation_present(spark):
     """A1: map-side partial agg before the exchange."""
     plan = _plan(QUERIES["agg_basic"](spark, SF_ORACLE))
@@ -99,6 +128,6 @@ def test_pivot_no_distinct_value_job(spark):
     """A8: pivot values enumerated — the plan is the two-aggregate
     pivotfirst shape with NO separate distinct-values collection (an
     un-enumerated pivot fires an eager spark job at plan time)."""
-    opt = _optimized(QUERIES["agg_pivot"](spark, SF_ORACLE))
+    opt = _optimized(agg_pivot(spark, SF_ORACLE))
     assert "pivotfirst" in opt, opt[:2000]
     assert opt.count("Aggregate [") == 2, opt[:2000]

@@ -66,20 +66,30 @@ def test_udtf_pairs_counts(spark):
 
 
 def test_mm_features_plumbing(spark):
-    feats = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
-    docs = table(spark, SF_ORACLE, "documents").count()
-    assert len(feats) == docs
-    assert set(feats["kind"]) <= {"image", "audio", "video"}
-    img = feats[feats["kind"] == "image"]
+    from ner_spark.ops.multimodal import decode_features, media_from_documents
+
+    docs_df = table(spark, SF_ORACLE, "documents")
+    docs = docs_df.count()
+    # the mapInPandas decode itself: one row per media item, 8-dim
+    # feature vector (the Arrow batch plumbing)
+    raw = decode_features(media_from_documents(docs_df)).toPandas()
+    assert len(raw) == docs
+    assert set(raw["kind"]) <= {"image", "audio", "video"}
+    img = raw[raw["kind"] == "image"]
     assert img["width"].notna().all() and img["height"].notna().all()
-    aud = feats[feats["kind"] == "audio"]
+    aud = raw[raw["kind"] == "audio"]
     assert aud["width"].isna().all()
-    assert feats["feature"].map(len).eq(8).all()
+    assert raw["feature"].map(len).eq(8).all()
+    # the registered query posexplodes to scalar rows (driver-sortable)
+    feats = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    assert len(feats) == docs * 8
+    assert {"feature_idx", "feature_value"} <= set(feats.columns)
     # deterministic: rerun equals
     again = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    key = ["media_id", "feature_idx"]
     pd.testing.assert_frame_equal(
-        feats.sort_values("media_id").reset_index(drop=True),
-        again.sort_values("media_id").reset_index(drop=True),
+        feats.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
     )
 
 
