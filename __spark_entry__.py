@@ -32,20 +32,33 @@ def _ensure_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "ner_spark_pkg.zip")
+    members = []
+    for dirpath, _dirs, files in sorted(os.walk(os.path.join(root, "ner_spark"))):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(files):
+            if fn.endswith((".py", ".npz")):
+                members.append(os.path.join(dirpath, fn))
+    # Zip name carries a content hash: a fixed name would silently
+    # ship a STALE zip left in tempdir by an earlier run of different
+    # code (executors then run old code while the driver runs new).
+    h = hashlib.sha256()
+    for full in members:
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ner_spark_pkg-{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _dirs, files in os.walk(os.path.join(root, "ner_spark")):
-                if "__pycache__" in dirpath:
-                    continue
-                for fn in files:
-                    if fn.endswith((".py", ".npz")):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, root))
+            for full in members:
+                z.write(full, os.path.relpath(full, root))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

@@ -16,6 +16,7 @@ BMES_TAGS = ("O",) + tuple(
     f"{p}-{lab}" for lab in LABELS for p in ("B", "M", "E", "S")
 )
 BIO_TAG2ID = {t: i for i, t in enumerate(BIO_TAGS)}
+BMES_TAG2ID = {t: i for i, t in enumerate(BMES_TAGS)}
 
 
 def decode_bio(tags: list[str]) -> list[tuple[int, int, str]]:

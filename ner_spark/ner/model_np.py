@@ -89,6 +89,29 @@ def encode_batch(
     return ids, lengths
 
 
+# Per-process grow-only buffer for the hoisted input projection
+# (x·Wx + b): ONE [B·T, 4h] C-contiguous block reused across batches
+# and both LSTM directions (they run sequentially, and each consumes
+# its xw inside its own time loop before the other starts).  Spark
+# python workers are single-threaded and reused across tasks, so the
+# buffer amortizes to zero allocation in steady state — same op
+# sequence (matmul into ``out`` + in-place bias add), bit-identical.
+_XW_BUFS: dict[int, np.ndarray] = {}
+
+
+def _xw_into(x: np.ndarray, wx: np.ndarray, b: np.ndarray) -> np.ndarray:
+    B, T, d = x.shape
+    n, m = B * T, wx.shape[1]
+    buf = _XW_BUFS.get(m)
+    if buf is None or buf.shape[0] < n:
+        buf = np.empty((max(n, 4096), m), dtype=np.float32)
+        _XW_BUFS[m] = buf
+    out = buf[:n]
+    np.matmul(x.reshape(n, d), wx, out=out)
+    out += b
+    return out.reshape(B, T, m)
+
+
 def _lstm_dir(
     x: np.ndarray,
     mask: np.ndarray,
@@ -118,7 +141,7 @@ def _lstm_dir(
     implemented as ``np.copyto(..., where=active)``."""
     B, T, d = x.shape
     h_dim = wh.shape[0]
-    xw = (x.reshape(B * T, d) @ wx + b).reshape(B, T, 4 * h_dim)
+    xw = _xw_into(x, wx, b)
     h = np.zeros((B, h_dim), dtype=np.float32)
     c = np.zeros((B, h_dim), dtype=np.float32)
     if out is None:
@@ -188,10 +211,15 @@ def viterbi_batch(
     delta_t[k] = emit[t,k] + max_j(delta_{t-1}[j] + A[j,k]);
     vectorized over the batch: [B,K,1] + [K,K] broadcast per step.
     O(T·K²) per sentence; the reference's hot loop re-expressed in
-    batch-major numpy (the template for the UDF inner loop)."""
+    batch-major numpy (the template for the UDF inner loop).
+
+    The label-set size is derived from ``trans`` (K = rows − 2), so
+    the same DP serves the 7-tag BIO model and the 13-tag BMES model
+    (C7 across both schemes) — identical arithmetic for BIO."""
     B, T, Kk = emit.shape
-    A = trans[:K, :K]  # [K,K]
-    delta = trans[START, :K][None, :] + emit[:, 0, :]  # [B,K]
+    k, start, stop = trans.shape[0] - 2, trans.shape[0] - 2, trans.shape[0] - 1
+    A = trans[:k, :k]  # [K,K]
+    delta = trans[start, :k][None, :] + emit[:, 0, :]  # [B,K]
     backp = np.zeros((B, T, Kk), dtype=np.int8)  # K ≤ 127
     deltas = np.zeros((B, T, Kk), dtype=emit.dtype)
     deltas[:, 0, :] = delta
@@ -209,7 +237,7 @@ def viterbi_batch(
         deltas[:, t, :] = delta
     # vectorized backtrack across the batch
     last = np.maximum(lengths - 1, 0)
-    final = deltas[rows, last, :] + trans[:K, STOP][None, :]
+    final = deltas[rows, last, :] + trans[:k, stop][None, :]
     ks = np.argmax(final, axis=1).astype(np.int64)  # [B]
     path_mat = np.zeros((B, T), dtype=np.int64)
     path_mat[rows, last] = ks
@@ -229,22 +257,27 @@ def viterbi_brute(emit_1: np.ndarray, trans: np.ndarray) -> list[int]:
     """Exhaustive argmax over all K^T paths (tests only, T ≤ 6)."""
     import itertools
 
+    k, start, stop = trans.shape[0] - 2, trans.shape[0] - 2, trans.shape[0] - 1
     T = emit_1.shape[0]
     best, best_score = None, -np.inf
-    for path in itertools.product(range(K), repeat=T):
-        s = trans[START, path[0]] + emit_1[0, path[0]]
+    for path in itertools.product(range(k), repeat=T):
+        s = trans[start, path[0]] + emit_1[0, path[0]]
         for t in range(1, T):
             s += trans[path[t - 1], path[t]] + emit_1[t, path[t]]
-        s += trans[path[-1], STOP]
+        s += trans[path[-1], stop]
         if s > best_score:
             best, best_score = list(path), s
     return best
 
 
 def tag_batch(
-    char_seqs: list[list[str]], vocab: dict[str, int], p: dict
+    char_seqs: list[list[str]],
+    vocab: dict[str, int],
+    p: dict,
+    tags: tuple[str, ...] = BIO_TAGS,
 ) -> list[list[str]]:
-    """C2–C8 fused: char seqs → BIO tag strings."""
+    """C2–C8 fused: char seqs → tag strings (BIO default; pass
+    BMES_TAGS with a BMES-trained parameter dict for the C9 scheme)."""
     if not char_seqs:
         return []
     nonempty = [s for s in char_seqs if s]
@@ -253,4 +286,4 @@ def tag_batch(
     ids, lengths = encode_batch(char_seqs, vocab)
     emit = emissions(ids, lengths, p)
     paths = viterbi_batch(emit, lengths, p["trans"])
-    return [[BIO_TAGS[k] for k in path] for path in paths]
+    return [[tags[k] for k in path] for path in paths]

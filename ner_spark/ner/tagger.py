@@ -31,8 +31,14 @@ from pyspark.sql import types as T
 
 from ner_spark.fixtures.gazetteer import GAZETTEER
 from ner_spark.ner import model_np as M
-from ner_spark.ner.decode import BIO_TAGS, decode_bio, decode_bmes, spans_to_bmes
-from ner_spark.ner.train_np import load_or_train
+from ner_spark.ner.decode import (
+    BIO_TAGS,
+    BMES_TAGS,
+    decode_bio,
+    decode_bmes,
+    spans_to_bmes,
+)
+from ner_spark.ner.train_np import BMES_MODEL_PATH, MODEL_PATH, load_or_train
 
 MENTION_SCHEMA = T.StructType(
     [
@@ -72,10 +78,11 @@ _UDF_BATCH = 512  # numpy mini-batch inside each Arrow batch
 _MODEL_CACHE: dict = {}
 
 
-def _cached_model():
-    if "m" not in _MODEL_CACHE:
-        _MODEL_CACHE["m"] = load_or_train()
-    return _MODEL_CACHE["m"]
+def _cached_model(scheme: str = "bio"):
+    if scheme not in _MODEL_CACHE:
+        path = MODEL_PATH if scheme == "bio" else BMES_MODEL_PATH
+        _MODEL_CACHE[scheme] = load_or_train(path, scheme=scheme)
+    return _MODEL_CACHE[scheme]
 
 
 _LUT_CACHE: dict[int, "object"] = {}
@@ -120,11 +127,20 @@ def gazetteer_spans(text: str, idx) -> list[tuple[int, int, str, str]]:
 
 
 def tag_pdf_batch(
-    texts: list[str], params: dict, vocab: dict[str, int]
+    texts: list[str],
+    params: dict,
+    vocab: dict[str, int],
+    scheme: str = "bio",
 ) -> list[list[tuple[int, int, str, str, float]]]:
     """Model-mode tagging of a list of texts → per-text span lists.
     Deterministic regardless of batch composition (per-row matmul
-    results don't depend on batch size — property-tested)."""
+    results don't depend on batch size — property-tested).  ``scheme``
+    selects the label set + decoder: "bio" (7 tags, conlleval decode)
+    or "bmes" (13 tags, decode_bmes) — C8/C9 both through the batched
+    Viterbi (the BMES transition matrix is its own trained model)."""
+    tags_tbl, decode = (
+        (BIO_TAGS, decode_bio) if scheme == "bio" else (BMES_TAGS, decode_bmes)
+    )
     out: list[list] = [[] for _ in texts]
     lut = _lut_for(vocab)
     todo = [(i, list(t)) for i, t in enumerate(texts) if t]
@@ -140,8 +156,8 @@ def tag_pdf_batch(
         emit = M.emissions(ids, lengths, params)
         paths = M.viterbi_batch(emit, lengths, params["trans"])
         for (row_i, chars), path in zip(chunk, paths):
-            tags = [BIO_TAGS[k] for k in path]
-            for s, e, lab in decode_bio(tags):
+            tags = [tags_tbl[k] for k in path]
+            for s, e, lab in decode(tags):
                 surface = "".join(chars[s:e])
                 out[row_i].append((s, e, surface, lab, 1.0))
     return out
@@ -155,7 +171,9 @@ def _tagger_fn(mode: str):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "model":
-            params, vocab = _cached_model()
+            params, vocab = _cached_model("bio")
+        elif mode == "model_bmes":
+            params, vocab = _cached_model("bmes")
         else:
             idx = _gazetteer_index()
         cols = [f.name for f in TURN_SCHEMA.fields]
@@ -163,6 +181,13 @@ def _tagger_fn(mode: str):
             texts = pdf["text"].tolist()
             if mode == "model":
                 span_lists = tag_pdf_batch(texts, params, vocab)
+            elif mode == "model_bmes":
+                # C9 through the MODEL path: BMES-trained BiLSTM-CRF →
+                # 13-tag batched Viterbi → decode_bmes, all inside the
+                # distributed UDF (pytest: spans == the BIO model's)
+                span_lists = tag_pdf_batch(
+                    texts, params, vocab, scheme="bmes"
+                )
             elif mode == "gazetteer_bmes":
                 # BMES label-scheme path (C9, BASELINE "BIO/BMES"):
                 # spans → BMES tag sequence → decode_bmes, so the BMES

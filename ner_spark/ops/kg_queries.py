@@ -122,13 +122,17 @@ def kg_mentions_gazetteer(spark, sf_dir):
     return tag_mentions(_transcripts(spark, sf_dir), mode="gazetteer")
 
 
-@register("kg_mentions_bmes")  # ⊘ pytest: spans == gazetteer (BIO) path
+@register("kg_mentions_bmes")  # ⊘ pytest: spans == the BIO model path
 def kg_mentions_bmes(spark, sf_dir):
-    """Stage 4, BMES label scheme: spans → BMES tags → decode_bmes
-    inside the distributed UDF (C9 through the real path)."""
+    """Stage 4, BMES label scheme THROUGH THE MODEL PATH: a
+    BMES-trained BiLSTM-CRF (model_tiny_bmes.npz, 13-tag transition
+    matrix) runs the batched Viterbi and decode_bmes inside the
+    distributed UDF — C9 end-to-end, not just the codec.  (The
+    gazetteer BMES codec path stays pytest-covered via
+    mode="gazetteer_bmes".)"""
     from ner_spark.ner.tagger import tag_mentions
 
-    return tag_mentions(_transcripts(spark, sf_dir), mode="gazetteer_bmes")
+    return tag_mentions(_transcripts(spark, sf_dir), mode="model_bmes")
 
 
 @register("kg_triples")  # ⊘

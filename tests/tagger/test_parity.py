@@ -81,6 +81,42 @@ def test_gazetteer_mode_matches_gold_exactly(spark):
     assert p >= 0.95 and r >= 0.95, (p, r, f1)
 
 
+def test_bmes_model_matches_bio_model_spans(spark):
+    """C9 through the model path: the BMES-trained BiLSTM-CRF (13-tag
+    transitions, decode_bmes) emits the SAME spans as the BIO model on
+    the fixture corpus — the two label schemes are encodings of one
+    span structure, so a fully-trained pair must agree."""
+    t = transcripts_df(spark, N_CONVS)
+    bio = _sorted_pdf(tag_mentions(t, mode="model").select(KEY).toPandas())
+    bmes = _sorted_pdf(
+        tag_mentions(t, mode="model_bmes").select(KEY).toPandas()
+    )
+    pd.testing.assert_frame_equal(bmes, bio)
+
+
+def test_bmes_model_matches_gold_spans(spark):
+    """BMES model vs generator gold: the same P/R ≥ 0.95 contract as
+    the BIO model."""
+    t = transcripts_df(spark, N_CONVS)
+    pred = tag_mentions(t, mode="model_bmes").select(KEY).toPandas()
+    gold = gold_spans_df(spark, N_CONVS).toPandas()
+    p, r, f1 = span_prf(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r, f1)
+
+
+def test_gazetteer_bmes_codec_path(spark):
+    """The gazetteer BMES codec path (spans → BMES tags → decode_bmes
+    inside the UDF) round-trips to the gazetteer BIO path exactly —
+    kept covered here since kg_mentions_bmes now carries the MODEL
+    path externally."""
+    t = transcripts_df(spark, 40)
+    bio = _sorted_pdf(tag_mentions(t, mode="gazetteer").select(KEY).toPandas())
+    bmes = _sorted_pdf(
+        tag_mentions(t, mode="gazetteer_bmes").select(KEY).toPandas()
+    )
+    pd.testing.assert_frame_equal(bmes, bio)
+
+
 def test_mention_id_stable(spark):
     t = transcripts_df(spark, 30)
     a = tag_mentions(t, mode="model").select("mention_id").toPandas()
