@@ -69,6 +69,11 @@ def run_headline() -> None:
 
     spark = get_spark("ner_spark-bench", cores=CPUS)
     queries = all_queries()
+    # Untimed JVM/codegen/python-worker spin-up (same rationale as the
+    # scaling bench's warmup pass: steady-state is what a long-running
+    # 100 TB job measures).  Touches NO bench table, so every query
+    # still pays its own parquet footer/IO cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -48,7 +48,11 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
         F.col("node_id").alias("doc_id"),
         F.concat(F.col("label"), F.lit(":"), F.col("surface")).alias("text"),
     )
-    sigs = minhash_signatures(docs, k=2)
+    # balance=False: ``docs`` is a derived post-shuffle plan (groupBy
+    # over mentions), already distributed — and _balance's partition
+    # probe would EXECUTE the upstream stages under AQE (see
+    # textops._balance docstring)
+    sigs = minhash_signatures(docs, k=2, balance=False)
     pairs = lsh_candidate_pairs(sigs)
     return pairs.select(
         F.col("doc_a").alias("node_a"),

@@ -299,8 +299,13 @@ def _balance(df: DataFrame, key: str) -> DataFrame:
     one core).  When the source is already well-split — the normal
     case for a 100 TB parquet dataset, whose file splits bound
     partition size via maxPartitionBytes — moving raw document bytes
-    through an exchange is pure cost, so this is a no-op.  The check
-    is plan-time only (getNumPartitions fires no job)."""
+    through an exchange is pure cost, so this is a no-op.
+
+    ONLY call this on raw file-scan inputs: ``.rdd.getNumPartitions``
+    is plan-time for a scan, but under AQE it EXECUTES the upstream
+    shuffle stages of a derived plan (measured: it turned every
+    linking action into a real job — pass ``balance=False`` there;
+    post-shuffle plans are already distributed)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -314,7 +319,9 @@ N_BANDS = 16  # 16 bands × 4 rows
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 5, balance: bool = True
+) -> DataFrame:
     """(doc_id, sig: array<bigint>[N_PERM]) MinHash signatures over
     char k-gram shingles.
 
@@ -352,9 +359,10 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
             ),
         )
     )
-    base = _balance(docs.filter(F.length("text") >= k), "doc_id").select(
-        "doc_id", shingle_hashes.alias("sh")
-    )
+    filtered = docs.filter(F.length("text") >= k)
+    if balance:
+        filtered = _balance(filtered, "doc_id")
+    base = filtered.select("doc_id", shingle_hashes.alias("sh"))
 
     # 64 separate array_min columns, NOT one nested transform-over-
     # coefficients expression: the nested form is ~64× less generated

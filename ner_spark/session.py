@@ -52,10 +52,14 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{prior}" if prior else repo_root
         )
+    b = SparkSession.builder.appName(app_name)
+    # Respect the launcher's --master (spark-submit to a cluster);
+    # only default to local[N] when no master was supplied — the same
+    # builder then serves spark-submit and in-process use.
+    if "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.session.timeZone", "UTC")
+        b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime re-planning from shuffle stats — coalescing,

@@ -27,6 +27,10 @@ def test_udf_scalar_matches_builtin(spark):
 
 
 def test_udf_grouped_agg_matches_sql(spark):
+    """The UDAF's 4-decimal fixed-point integer (×10⁴) vs the float
+    SQL formula: agree within one last-place unit of the 4th decimal
+    (the UDAF is exact integer cents; the SQL float sum carries ulp
+    noise)."""
     got = QUERIES["udf_grouped_agg"](spark, SF_ORACLE).toPandas()
     li = table(spark, SF_ORACLE, "lineitem")
     exp = (
@@ -43,7 +47,9 @@ def test_udf_grouped_agg_matches_sql(spark):
     key = "l_returnflag"
     g = got.sort_values(key).reset_index(drop=True)
     e = exp.sort_values(key).reset_index(drop=True)
-    assert (abs(g["wavg_price"] - e["wavg_price"]) < 1e-3).all()
+    assert (
+        abs(g["wavg_price_4dp"] / 10_000.0 - e["wavg_price"]) < 2e-4
+    ).all()
 
 
 def test_udf_grouped_map_profile(spark):
