@@ -64,6 +64,14 @@ def test_shuffle_hash_join_strategy(spark):
     assert "ShuffledHashJoin" in plan
 
 
+def test_join_shuffle_composite_runs_both_strategies(spark):
+    """The registered composite must execute BOTH physical strategies
+    (one plan containing a SortMergeJoin branch and a ShuffledHashJoin
+    branch) — otherwise the probe would silently stop covering J3."""
+    plan = _plan(QUERIES["join_shuffle"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan and "ShuffledHashJoin" in plan
+
+
 def test_triples_plan_is_join_free_single_exchange(spark):
     t = transcripts_df(spark, 50)
     tagged = tag_turns(t, mode="gazetteer")
