@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -29,7 +29,10 @@ def _ensure_shipped(spark: SparkSession) -> None:
     works for ANY session (the driver's own included), regardless of
     cwd/PYTHONPATH; the sandbox analog of ``--py-files ner_spark.zip``.
     """
-    key = id(spark.sparkContext)
+    # applicationId, not id(sc): a restarted context can reuse the
+    # freed object's address, which would skip shipping to the new
+    # context's executors (ModuleNotFoundError in every UDF task)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import hashlib
@@ -56,9 +59,14 @@ def _ensure_shipped(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"ner_spark_pkg-{h.hexdigest()[:12]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+        # tmp + atomic rename: a crash mid-write must not leave a
+        # truncated zip at the content-hash name (it would be cached
+        # forever — same commit-point pattern as checkpoint/lineage)
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
             for full in members:
                 z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

@@ -72,8 +72,20 @@ def run_headline() -> None:
     # Untimed JVM/codegen/python-worker spin-up (same rationale as the
     # scaling bench's warmup pass: steady-state is what a long-running
     # 100 TB job measures).  Touches NO bench table, so every query
-    # still pays its own parquet footer/IO cost.
+    # still pays its own parquet footer/IO cost.  The second statement
+    # runs a trivial pandas UDF: a JVM-only query would leave the
+    # python worker daemons unstarted and the first UDF query would
+    # still pay their spin-up inside its timed window.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(10_000).select(F.sum(_warm("id"))).collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -183,8 +195,13 @@ def _headline_pair(pairs: list[tuple[int, int]]) -> tuple[int, int]:
     on a real cluster N and 4N *executors* bring their own bandwidth.
     On this box (32 cores): 2·8=16 < 32 → (2,8) headline; 2·16=32 ≮ 32
     → (4,16) reported but saturated; on a 64-core host the same rule
-    would pick (4,16)."""
-    phys = os.cpu_count() or 32
+    would pick (4,16).  Core count comes from the process's cpu
+    AFFINITY (the actually-usable budget under cgroup/quota limits),
+    not the host's raw cpu_count."""
+    try:
+        phys = len(os.sched_getaffinity(0))
+    except AttributeError:
+        phys = os.cpu_count() or 32
     fits = [(a, b) for a, b in pairs if 2 * b < phys]
     if fits:
         return max(fits)

@@ -105,20 +105,22 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
             st.update(st_view)
     else:
         st_view = st
-    if materialize and "entities" not in st:
-        from ner_spark.kg.materialize import (
-            build_edges,
-            build_entities,
-            entity_assignments,
-        )
+    if materialize:
+        if "entities" not in st:
+            from ner_spark.kg.materialize import (
+                build_edges,
+                build_entities,
+                entity_assignments,
+            )
 
-        assignments = entity_assignments(st_view["mentions"])
-        st["assignments"] = assignments
-        st["entities"] = build_entities(st_view["mentions"], assignments)
-        st["edges"] = build_edges(st_view["triples"], assignments)
-        st_view = {**st_view, **{k: st[k] for k in ("assignments", "entities", "edges")}}
-    elif materialize:
-        st_view = {**st_view, **{k: st[k] for k in ("assignments", "entities", "edges")}}
+            assignments = entity_assignments(st_view["mentions"])
+            st["assignments"] = assignments
+            st["entities"] = build_entities(st_view["mentions"], assignments)
+            st["edges"] = build_edges(st_view["triples"], assignments)
+        st_view = {
+            **st_view,
+            **{k: st[k] for k in ("assignments", "entities", "edges")},
+        }
     return st_view
 
 

@@ -454,10 +454,12 @@ SIMHASH_CHUNKS = 8  # 8×8-bit chunks: every ≤7-bit hamming pair shares
 #                     recall-guaranteed by the bucketing.
 
 
-def dedup_simhash_pairs(d: DataFrame) -> DataFrame:
+def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign-aggregated token-hash
     bits; candidates share one of 8 8-bit chunks.  Pure bit arithmetic
-    on higher-order array functions — no UDF."""
+    on higher-order array functions — no UDF.  ``balance=False`` for
+    derived (post-shuffle) inputs — same contract as
+    minhash_signatures (see _balance's docstring on the AQE probe)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # bit b of simhash = 1 iff sum over tokens of (+1 if bit set else
@@ -482,9 +484,10 @@ def dedup_simhash_pairs(d: DataFrame) -> DataFrame:
             vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    sigs = _balance(d.filter(F.trim("text") != ""), "doc_id").select(
-        "doc_id", sig.alias("simhash")
-    )
+    filtered = d.filter(F.trim("text") != "")
+    if balance:
+        filtered = _balance(filtered, "doc_id")
+    sigs = filtered.select("doc_id", sig.alias("simhash"))
     chunks = sigs.select(
         "doc_id",
         "simhash",

@@ -54,9 +54,16 @@ def get_spark(
         )
     b = SparkSession.builder.appName(app_name)
     # Respect the launcher's --master (spark-submit to a cluster);
-    # only default to local[N] when no master was supplied — the same
-    # builder then serves spark-submit and in-process use.
-    if "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+    # only default to local[N] when this process launched its own JVM.
+    # Detection (verified empirically under real spark-submit): the
+    # launcher execs python with PYSPARK_GATEWAY_PORT pointing at its
+    # already-configured JVM — whose master reaches the session at
+    # getOrCreate.  Neither PYSPARK_SUBMIT_ARGS nor
+    # SparkConf(loadDefaults=True) carries the master in that process,
+    # so a builder-side .master() here would clobber the cluster
+    # master with local[N] (tests/resume/test_spark_submit.py asserts
+    # the effective master end-to-end).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
         b = b.master(f"local[{cores}]")
     b = (
         b.config("spark.sql.session.timeZone", "UTC")

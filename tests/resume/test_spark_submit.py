@@ -48,6 +48,13 @@ def test_spark_submit_pyfiles_pipeline(spark, tmp_path):
         body = f.read()
     with open(script, "w") as f:
         f.write(body)
+        # after main(): print the EFFECTIVE master, so this test fails
+        # if get_spark ever clobbers the launcher's --master again
+        f.write(
+            "\nfrom pyspark.sql import SparkSession as _S\n"
+            "print({'effective_master':"
+            " _S.getActiveSession().sparkContext.master})\n"
+        )
 
     env = {
         k: v
@@ -83,3 +90,4 @@ def test_spark_submit_pyfiles_pipeline(spark, tmp_path):
     out = proc.stdout
     assert "'validated':" in out and "False" not in out, out[-2000:]
     assert "'triples':" in out, out[-2000:]
+    assert "'effective_master': 'local[2]'" in out, out[-2000:]

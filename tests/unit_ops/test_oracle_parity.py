@@ -45,6 +45,19 @@ def test_oracle_queries_sortable_schema(spark, name):
         ), f"{name}: column {f.name} is {f.dataType} — driver can't sort it"
 
 
+def test_catalog_fits_scoring_window():
+    """The whole design of the un-prioritized catalog rests on every
+    registered query fitting the external gate's 50-query scoring
+    window (ops/__init__.py docstring).  A 51st registration would
+    silently push the last query out of external scoring — if this
+    fails, CONSOLIDATE (composite probes, ops/relational.py header),
+    don't reorder."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registered queries exceed the 50-slot gate "
+        f"window: {list(QUERIES)[50:]} would go unscored"
+    )
+
+
 def test_mirror_rejects_unsortable_columns():
     """_normalize must crash on a list column exactly as the driver
     does (sort-before-stringify), so this bug class can't pass locally
