@@ -20,6 +20,9 @@ from pyspark.sql import types as T
 
 from ner_spark.io.read import table
 from ner_spark.ops import register
+from ner_spark.ops.probes import probes as _probes
+from ner_spark.ops.probes import union_tagged as _union_tagged
+from ner_spark.ops.probes import wrap as _wrap
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -158,7 +161,6 @@ def _mm_features_oracle() -> str:
     """
 
 
-@register("mm_features", oracle=_mm_features_oracle())
 def mm_features(spark, sf_dir):
     """Decode/feature-extract over the opaque media column.  The codec
     is the documented deterministic fake (md5-keyed), which makes the
@@ -178,15 +180,14 @@ def mm_features(spark, sf_dir):
     )
 
 
-@register(
-    "mm_meta",
-    oracle="""
+_MM_META_SQL = """
     SELECT CAST(doc_id % 3 AS INT) AS kind_idx,
            count(*) AS n,
            CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents GROUP BY kind_idx
-    """,
-)
+"""
+
+
 def mm_meta(spark, sf_dir):
     """Metadata aggregation over the opaque column (JVM-only: byte
     lengths, kind distribution) — oracle-checked via the utf-8 byte
@@ -198,4 +199,179 @@ def mm_meta(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample (the remaining multimodal pipeline ops): real
+# mapInPandas plumbing, stubbed codecs with deterministic md5-keyed
+# fakes, scalar fingerprints for the external compare.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+        T.StructField("resized_fp", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_fp", T.StringType(), False),
+    ]
+)
+
+
+def resize_real(payload: bytes, w: int, h: int) -> bytes:
+    """Production image-resize hook — intentionally unimplemented."""
+    raise NotImplementedError(
+        "no image codecs in this environment; plug in PIL and route "
+        "resize_media's inner call through this"
+    )
+
+
+def sample_real(payload: bytes, frame_idx: int) -> bytes:
+    """Production frame-extract hook — intentionally unimplemented."""
+    raise NotImplementedError(
+        "no video codecs in this environment; plug in ffmpeg/pyav and "
+        "route sample_frames' inner call through this"
+    )
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize images: mapInPandas over the opaque payload, one output
+    row per image.  Fake codec: the 'resized' bytes are the md5 of
+    (content-hash ‖ :resized:WxH) — a pure function of the input, so
+    retries agree and DuckDB can replay the fingerprint.  Shuffle-free
+    like decode_features (plan-asserted): resize is embarrassingly
+    parallel, payload bytes never cross an exchange."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                rb = hashlib.md5(
+                    f"{h}:resized:{out_w}x{out_h}".encode()
+                ).digest()
+                out.append(
+                    (int(mid), out_w, out_h, rb, rb.hex())
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        fn, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame-sample videos: mapInPandas emitting one row per sampled
+    frame (every ``stride``-th of the fake-decoded n_frames).  Fake
+    codec: frame bytes = md5(content-hash ‖ :frame: ‖ idx).  The fan-out
+    happens INSIDE the UDF batch (no explode over payload copies)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                h = hashlib.md5(bytes(payload)).digest()
+                n_frames = 1 + h[2] % 32
+                hx = hashlib.md5(bytes(payload)).hexdigest()
+                for idx in range(0, n_frames, stride):
+                    fb = hashlib.md5(f"{hx}:frame:{idx}".encode()).digest()
+                    out.append((int(mid), idx, fb, fb.hex()))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        fn, FRAME_SCHEMA
+    )
+
+
+def _mm_resize_sql() -> str:
+    return """
+    SELECT doc_id AS media_id,
+           8 AS out_w, 8 AS out_h,
+           md5(md5(text) || ':resized:8x8') AS resized_fp
+    FROM documents WHERE doc_id % 3 = 0
+    """
+
+
+def _mm_frames_sql() -> str:
+    def byte(i: int) -> str:
+        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+    ), nf AS (
+      SELECT doc_id, h, 1 + {byte(2)} % 32 AS n_frames FROM m
+    ), idx AS (SELECT CAST(range AS INT) AS frame_idx FROM range(32))
+    SELECT doc_id AS media_id, frame_idx,
+           md5(h || ':frame:' || frame_idx) AS frame_fp
+    FROM nf JOIN idx ON frame_idx < n_frames AND frame_idx % 4 = 0
+    """
+
+
+@register(
+    "mm_pipeline",
+    oracle=_probes(
+        _wrap("meta", ["kind_idx", "n", "total_bytes"], _MM_META_SQL),
+        _wrap(
+            "features",
+            ["media_id", "kind", "width", "height", "n_frames",
+             "feature_idx", "feature_value"],
+            _mm_features_oracle(),
+            dec={"feature_value": 6},
+        ),
+        _wrap("resize", ["media_id", "out_w", "out_h", "resized_fp"],
+              _mm_resize_sql()),
+        _wrap("frames", ["media_id", "frame_idx", "frame_fp"],
+              _mm_frames_sql()),
+    ),
+)
+def mm_pipeline(spark, sf_dir):
+    """The full multimodal pipeline as one composite probe query:
+    metadata aggregation (JVM-only), decode/feature-extract, image
+    resize, and video frame-sampling — every codec a documented
+    deterministic fake over real mapInPandas plumbing, every branch
+    replayed exactly by DuckDB from the same bytes."""
+    d = table(spark, sf_dir, "documents")
+    m = media_from_documents(d)
+    return _union_tagged(
+        [
+            ("meta", mm_meta(spark, sf_dir), None),
+            ("features", mm_features(spark, sf_dir), {"feature_value": 6}),
+            (
+                "resize",
+                resize_media(m).select(
+                    "media_id", "out_w", "out_h", "resized_fp"
+                ),
+                None,
+            ),
+            (
+                "frames",
+                sample_frames(m).select("media_id", "frame_idx", "frame_fp"),
+                None,
+            ),
+        ]
     )

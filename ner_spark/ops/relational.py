@@ -41,58 +41,13 @@ from ner_spark.io.read import table
 from ner_spark.ops import register
 
 # --------------------------------------------------------------------------
-# Composite-probe helpers
+# Composite-probe helpers (shared: ner_spark/ops/probes.py)
 # --------------------------------------------------------------------------
 
-_NULL_MARK = "∅"
-
-
-def _tagged(tag: str, df: DataFrame, dec: dict[str, int] | None = None):
-    """Render every row of ``df`` as (probe=tag, row_repr=c1|c2|…).
-
-    ``dec`` maps float column → decimal scale: both engines cast
-    ``DECIMAL(38, scale)`` → string, which formats identically
-    ("1.50"), where a raw double→string cast would not (Spark
-    "1.2E8" vs DuckDB "120000000.0")."""
-    exprs = []
-    for c in df.columns:
-        e = F.col(c)
-        if dec and c in dec:
-            e = e.cast(f"decimal(38,{dec[c]})")
-        exprs.append(F.coalesce(e.cast("string"), F.lit(_NULL_MARK)))
-    return df.select(
-        F.lit(tag).alias("probe"), F.concat_ws("|", *exprs).alias("row_repr")
-    )
-
-
-def _union_tagged(branches) -> DataFrame:
-    """branches: iterable of (tag, df, dec-or-None) → unioned probes."""
-    dfs = [_tagged(t, df, dec) for t, df, dec in branches]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
-
-
-def _wrap(tag: str, cols: list[str], inner: str,
-          dec: dict[str, int] | None = None) -> str:
-    """DuckDB twin of _tagged: wrap a branch oracle into probe rows.
-    ``cols`` must list the branch's columns in the same order as the
-    Spark DataFrame's."""
-    parts = []
-    for c in cols:
-        expr = c
-        if dec and c in dec:
-            expr = f"CAST({c} AS DECIMAL(38,{dec[c]}))"
-        parts.append(f"coalesce(CAST({expr} AS VARCHAR), '{_NULL_MARK}')")
-    return (
-        f"SELECT '{tag}' AS probe, concat_ws('|', {', '.join(parts)}) "
-        f"AS row_repr FROM ({inner})"
-    )
-
-
-def _probes(*wraps: str) -> str:
-    return " UNION ALL ".join(wraps)
+from ner_spark.ops.probes import probes as _probes
+from ner_spark.ops.probes import tagged as _tagged  # noqa: F401 (plan tests)
+from ner_spark.ops.probes import union_tagged as _union_tagged
+from ner_spark.ops.probes import wrap as _wrap
 
 
 # --------------------------------------------------------------------------

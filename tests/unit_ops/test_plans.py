@@ -89,9 +89,25 @@ def test_multimodal_decode_is_shuffle_free(spark):
     embarrassingly parallel, so the plan is scan → project →
     mapInPandas with NO Exchange (at 100 TB of media a repartition
     here would be the largest avoidable shuffle in the engine)."""
-    plan = _plan(QUERIES["mm_features"](spark, SF_ORACLE))
+    from ner_spark.ops.multimodal import (
+        media_from_documents,
+        mm_features,
+        resize_media,
+        sample_frames,
+    )
+
+    plan = _plan(mm_features(spark, SF_ORACLE))
     assert "Exchange" not in plan, plan[:2000]
     assert "MapInPandas" in plan
+    m = media_from_documents(
+        __import__("ner_spark.io.read", fromlist=["table"]).table(
+            spark, SF_ORACLE, "documents"
+        )
+    )
+    for build in (resize_media, sample_frames):
+        plan = _plan(build(m))
+        assert "Exchange" not in plan, plan[:2000]
+        assert "MapInPandas" in plan
 
 
 def test_dedup_signatures_no_exchange_when_well_split(spark):

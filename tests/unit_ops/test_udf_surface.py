@@ -86,17 +86,56 @@ def test_mm_features_plumbing(spark):
     aud = raw[raw["kind"] == "audio"]
     assert aud["width"].isna().all()
     assert raw["feature"].map(len).eq(8).all()
-    # the registered query posexplodes to scalar rows (driver-sortable)
-    feats = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    # the features query posexplodes to scalar rows (driver-sortable)
+    from ner_spark.ops.multimodal import mm_features
+
+    feats = mm_features(spark, SF_ORACLE).toPandas()
     assert len(feats) == docs * 8
     assert {"feature_idx", "feature_value"} <= set(feats.columns)
     # deterministic: rerun equals
-    again = QUERIES["mm_features"](spark, SF_ORACLE).toPandas()
+    again = mm_features(spark, SF_ORACLE).toPandas()
     key = ["media_id", "feature_idx"]
     pd.testing.assert_frame_equal(
         feats.sort_values(key).reset_index(drop=True),
         again.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_mm_resize_and_frames_plumbing(spark):
+    """Resize + frame-sample: real mapInPandas over the opaque payload,
+    deterministic fakes — fingerprints are pure functions of content."""
+    import hashlib
+
+    from ner_spark.ops.multimodal import (
+        media_from_documents,
+        resize_media,
+        sample_frames,
+    )
+
+    m = media_from_documents(table(spark, SF_ORACLE, "documents"))
+    rs = resize_media(m).toPandas()
+    docs = m.toPandas()
+    images = docs[docs["kind"] == "image"]
+    assert len(rs) == len(images)
+    assert (rs["out_w"] == 8).all() and (rs["out_h"] == 8).all()
+    # fingerprint == md5(md5(payload) || ':resized:8x8'), binary matches
+    one = rs.iloc[0]
+    payload = bytes(
+        images[images["media_id"] == one["media_id"]]["payload"].iloc[0]
+    )
+    h = hashlib.md5(payload).hexdigest()
+    assert one["resized_fp"] == hashlib.md5(
+        f"{h}:resized:8x8".encode()
+    ).hexdigest()
+    assert bytes(one["resized"]).hex() == one["resized_fp"]
+
+    fr = sample_frames(m).toPandas()
+    videos = docs[docs["kind"] == "video"]
+    assert set(fr["media_id"]) == set(videos["media_id"])
+    assert (fr["frame_idx"] % 4 == 0).all()
+    # per-video frame count = ceil(n_frames / stride), n_frames ≤ 32
+    per = fr.groupby("media_id")["frame_idx"].count()
+    assert per.between(1, 8).all()
 
 
 def test_mm_decode_real_is_guarded():
