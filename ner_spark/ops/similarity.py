@@ -106,18 +106,16 @@ def hyperplane_signature(vec_col, n_bits: int = 12):
     return sig
 
 
-@register("sim_lsh")  # ⊘ rows-only: bucket hash family is engine-specific
-def sim_lsh(spark, sf_dir):
-    """ANN via random-hyperplane LSH: queries probe only their own
-    bucket (12-bit signature → ~4096 buckets), then exact cosine +
-    top-3 within the bucket.  pytest measures recall vs sim_brute.
+def ann_lsh(e: DataFrame, n_bits: int = 12) -> DataFrame:
+    """ANN via random-hyperplane LSH over an embeddings-shaped frame
+    (vec_id, embedding): queries probe only their own bucket
+    (n_bits-signature buckets), then exact cosine + top-3 within it.
     At scale: corpus bucketed once (one shuffle, reusable), each query
-    touches 1/4096 of the data."""
-    e = table(spark, sf_dir, "embeddings")
+    touches ~2^-n_bits of the data."""
     with_sig = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
-        hyperplane_signature(_dbl("embedding")).alias("bucket"),
+        hyperplane_signature(_dbl("embedding"), n_bits).alias("bucket"),
     )
     q = with_sig.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
@@ -134,6 +132,127 @@ def sim_lsh(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("qid", "nid", "rk", F.round("cos", 6).alias("cos"))
     )
+
+
+@register("sim_lsh")  # ⊘ rows-only: bucket hash family is engine-specific
+def sim_lsh(spark, sf_dir):
+    """ann_lsh over the driver's embeddings table.  NB the synthetic
+    embeddings are near-random (within-label avg cosine 0.0016 vs
+    0.0003 across — no cluster structure), so ANY pruning ANN recalls
+    ≈ its scanned fraction here; algorithm recall is pytest-verified
+    on a PLANTED clustered fixture instead
+    (tests/unit_ops/test_similarity_ann.py)."""
+    return ann_lsh(table(spark, sf_dir, "embeddings"))
+
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 3  # probed cells per query
+IVF_ITERS = 2  # Lloyd iterations
+
+
+def _lit_vec(vals) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _cell_sims(vec_col, centroids):
+    """array<double> of cosine(vec, centroid_k) for every centroid —
+    all JVM higher-order functions over literal centroid arrays."""
+    return F.array(*[cosine(vec_col, _lit_vec(c)) for c in centroids])
+
+
+def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
+    """Deterministic coarse quantizer: seeds = the IVF_K corpus vectors
+    with the smallest xxhash64(nid) (an RNG-free sample, stable under
+    any partitioning), refined with IVF_ITERS distributed Lloyd
+    iterations (assign = argmax cosine vs broadcast-literal centroids;
+    update = per-dimension avg, one groupBy).  Centroids are a tiny
+    model artifact collected to the driver — at 100 TB train them on a
+    deterministic sample exactly like this and reuse across queries."""
+    seeds = (
+        corpus.withColumn("h", F.xxhash64("nid"))
+        .orderBy("h", "nid")
+        .limit(k)
+        .select("cv")
+        .collect()
+    )
+    cents = [[float(x) for x in r["cv"]] for r in seeds]
+    dim = len(cents[0])
+    for _ in range(IVF_ITERS):
+        sims = _cell_sims(F.col("cv"), cents)
+        assigned = corpus.select(
+            "cv", F.array_position(sims, F.array_max(sims)).cast("int").alias("cell")
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("cv", i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(cents)  # empty cells keep their previous centroid
+        for r in rows:
+            new[int(r["cell"]) - 1] = [float(r[f"d{i}"]) for i in range(dim)]
+        cents = new
+    return cents
+
+
+def ann_ivf(
+    e: DataFrame, k: int = IVF_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization over an
+    embeddings-shaped frame — the classic scale path alongside LSH:
+    corpus vectors are assigned to their nearest of ``k`` k-means
+    centroids (one shuffle, reusable index); each query probes only
+    its ``nprobe`` closest cells and scores exactly within them.  At
+    10⁹+ vectors each query touches ~nprobe/k of the corpus, and the
+    centroid model is a broadcast-sized artifact."""
+    corpus = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("nid"), _dbl("embedding").alias("cv")
+    )
+    cents = ivf_centroids(corpus, k)
+    csims = _cell_sims(F.col("cv"), cents)
+    c = corpus.select(
+        "nid",
+        "cv",
+        F.array_position(csims, F.array_max(csims)).cast("int").alias("cell"),
+    )
+    qsims = _cell_sims(F.col("qv"), cents)
+    cells = F.array(
+        *[
+            F.struct(
+                F.element_at(qsims, i + 1).alias("s"), F.lit(i + 1).alias("cell")
+            )
+            for i in range(len(cents))
+        ]
+    )
+    probed = F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("qid"), _dbl("embedding").alias("qv"))
+        .select("qid", "qv", F.explode(probed).alias("pc"))
+        .select("qid", "qv", F.col("pc.cell").alias("cell"))
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "qid", "nid", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "nid", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
+@register("sim_ivf")  # ⊘ rows-only: k-means training not SQL-expressible
+def sim_ivf(spark, sf_dir):
+    """ann_ivf over the driver's embeddings table (same data caveat as
+    sim_lsh: near-random vectors → recall ≈ scanned fraction; the
+    algorithm's recall contract is pytest-pinned on a planted
+    clustered fixture)."""
+    return ann_ivf(table(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -1,0 +1,86 @@
+"""ANN recall contracts on a PLANTED clustered fixture.
+
+The driver's synthetic embeddings are near-random (within-label avg
+cosine 0.0016 vs 0.0003 across), so any pruning ANN there recalls
+about its scanned fraction — that measures the data, not the
+algorithm.  These tests plant real cluster structure (tight clusters
+around deterministic centers) where a correct IVF / LSH implementation
+must recover the brute-force top-3 almost perfectly, and a broken
+bucketing/probing would not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner_spark.ops.similarity import N_QUERY, ann_ivf, ann_lsh
+
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+DIM = 16
+NOISE = 0.05
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.RandomState(0)
+    centers = rng.randn(N_CLUSTERS, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vec_id = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + NOISE * rng.randn(DIM)
+            rows.append((vec_id, [float(x) for x in v]))
+            vec_id += 1
+    # shuffle deterministically so queries (vec_id < N_QUERY) span
+    # clusters and ids don't encode cluster membership
+    order = rng.permutation(len(rows))
+    rows = [(int(i), rows[j][1]) for i, j in enumerate(order)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute(planted) -> set[tuple[int, int]]:
+    pdf = planted.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding) for r in pdf.itertuples()}
+    out = set()
+    for qid in range(N_QUERY):
+        qv = vecs[qid]
+        scored = sorted(
+            (
+                (
+                    -float(
+                        np.dot(qv, cv)
+                        / (np.linalg.norm(qv) * np.linalg.norm(cv))
+                    ),
+                    nid,
+                )
+                for nid, cv in vecs.items()
+                if nid >= N_QUERY
+            )
+        )[:3]
+        out.update((qid, nid) for _s, nid in scored)
+    return out
+
+
+def test_ivf_recall_on_planted_clusters(spark, planted):
+    truth = _brute(planted)
+    got = {
+        (int(r["qid"]), int(r["nid"]))
+        for r in ann_ivf(planted, k=N_CLUSTERS, nprobe=2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - got))
+
+
+def test_lsh_recall_on_planted_clusters(spark, planted):
+    # 6-bit buckets: tight clusters (pairwise cosine ≥ ~0.99) land in
+    # the same bucket with near-certainty; cross-cluster rarely does
+    truth = _brute(planted)
+    got = {
+        (int(r["qid"]), int(r["nid"]))
+        for r in ann_lsh(planted, n_bits=6).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, (recall, sorted(truth - got))
