@@ -10,6 +10,17 @@ explicitly since concat_ws drops NULLs.  All-string schemas always
 sort under the driver's canonicalization, and the rendering is exactly
 as strong as comparing each branch separately.
 
+PRECONDITION on ``dec`` scales: the branch must already round the
+column to AT MOST the cast scale (the catalog convention — every
+float output is ``round(x, k)``).  A raw double landing exactly on a
+half at the cast scale (e.g. -987654321.125 at scale 2 — dyadic, so
+exactly representable) rounds HALF_UP in Spark's decimal cast but
+half-even in DuckDB's, and the renderings diverge
+(tests/unit_ops/test_probe_rendering.py pins this).  Pre-rounded
+values can't tie: round(x, k) yields the double nearest a k-decimal
+value, and for |x| < ~7e13 that double is never halfway between two
+k-decimal grid points.
+
 This module must stay import-free of the catalog modules so importing
 it never perturbs registration order.
 """
