@@ -106,12 +106,24 @@ def hyperplane_signature(vec_col, n_bits: int = 12):
     return sig
 
 
-def ann_lsh(e: DataFrame, n_bits: int = 12) -> DataFrame:
+def ann_lsh(e: DataFrame, n_bits: int | None = None) -> DataFrame:
     """ANN via random-hyperplane LSH over an embeddings-shaped frame
     (vec_id, embedding): queries probe only their own bucket
     (n_bits-signature buckets), then exact cosine + top-3 within it.
     At scale: corpus bucketed once (one shuffle, reusable), each query
-    touches ~2^-n_bits of the data."""
+    touches ~2^-n_bits of the data.
+
+    ``n_bits`` defaults ADAPTIVELY to ceil(log2(n/64)) clamped to
+    [4, 24] — ~64 vectors per bucket whether the corpus is 500 rows
+    (16 buckets) or 10⁹ (2²⁴).  A fixed bucket count can't serve both:
+    round 2's hardcoded 12 bits put 4096 buckets under 500 vectors and
+    queries probed near-empty cells.  The sizing count is one cheap
+    metadata-level job, paid once per index build."""
+    if n_bits is None:
+        import math
+
+        n = e.count()
+        n_bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 64))))
     with_sig = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
@@ -136,7 +148,8 @@ def ann_lsh(e: DataFrame, n_bits: int = 12) -> DataFrame:
 
 @register("sim_lsh")  # ⊘ rows-only: bucket hash family is engine-specific
 def sim_lsh(spark, sf_dir):
-    """ann_lsh over the driver's embeddings table.  NB the synthetic
+    """ann_lsh over the driver's embeddings table (adaptive bucket
+    count — ~64 vectors/bucket at any corpus size).  NB the synthetic
     embeddings are near-random (within-label avg cosine 0.0016 vs
     0.0003 across — no cluster structure), so ANY pruning ANN recalls
     ≈ its scanned fraction here; algorithm recall is pytest-verified
