@@ -22,6 +22,44 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+COMPOSITES = [
+    "rel_project_filter",
+    "join_shuffle",
+    "join_variants",
+    "agg_stats",
+    "agg_shapes",
+    "agg_order",
+    "win_analytic",
+    "win_tumble_slide",
+    "sort_limit",
+    "set_ops",
+    "fn_text",
+    "fn_json_date",
+    "fn_math_hash",
+    "mm_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", COMPOSITES)
+def test_composite_parity_at_second_sf(spark, name):
+    """Composites re-checked at sf0.001 (the driver gates at one SF
+    only): a scale-dependent rendering bug — decimal overflow, a
+    branch whose result set degenerates at small data — would pass
+    the single-SF gate and surface later."""
+    import duckdb as _duckdb
+
+    from ner_spark.io.read import TABLES
+    from tests.conftest import SF_UNIT
+
+    con = _duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_UNIT}/{t}.parquet'")
+    sdf = QUERIES[name](spark, SF_UNIT)
+    ok, msg = compare_query(sdf, con.sql(ORACLES[name]))
+    con.close()
+    assert ok, f"{name}@sf0.001: {msg}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
