@@ -497,7 +497,14 @@ def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
     filtered = d.filter(F.trim("text") != "")
     if balance:
         filtered = _balance(filtered, "doc_id")
-    sigs = filtered.select("doc_id", sig.alias("simhash"))
+    # The chunk self-join below references the signature plan TWICE
+    # (both aliases) — same 2×-recompute trap as lsh_candidate_pairs'
+    # three references: the 64-bit vote fold (64·|tokens| ops/doc) and
+    # the corpus scan would run per side.  One narrow exchange
+    # (doc_id + one long) materializes the stage once for both sides.
+    sigs = filtered.select("doc_id", sig.alias("simhash")).repartition(
+        F.col("doc_id")
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
