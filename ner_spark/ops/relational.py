@@ -475,19 +475,22 @@ def join_asof(spark, sf_dir):
     """J9: as-of join via the union+last(ignorenulls) window trick —
     each purchase gets the latest click value at-or-before its ts.
     One shuffle on user_id; no per-row probing.  Ordering is total
-    (ts, is_ref desc, event_id) so the fill is deterministic."""
+    (ts, is_ref desc, event_id) so the fill is deterministic.
+
+    ONE scan of events: the reference/probe split is a conditional
+    projection over a single IN-filtered scan, not a union of two
+    filtered branches (which would read the fact table twice — at
+    100 TB the scan is the cost)."""
     e = table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_ref")
-    )
-    purch = e.filter(F.col("event_type") == "purchase").select(
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "ts",
         "event_id",
-        F.lit(None).cast("double").alias("value"),
-        F.lit(0).alias("is_ref"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .cast("double")
+        .alias("value"),
+        (F.col("event_type") == "click").cast("int").alias("is_ref"),
     )
-    u = clicks.unionByName(purch)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts"), F.col("is_ref").desc(), F.col("event_id"))
