@@ -261,6 +261,13 @@ def dedup_ngram(spark, sf_dir):
             )
         ).alias("shingle"),
     )
+    # The shingle stream feeds FOUR consumers (both self-join sides +
+    # both per-side size lookups); exchanging it once on the join key
+    # makes the scan+explode the map side of ONE shuffle every
+    # consumer reads — and the self-join needs this exact exchange
+    # anyway, so it adds no shuffle, it only stops the corpus being
+    # re-scanned and re-shingled per consumer.
+    sh = sh.repartition(F.col("lang"), F.col("source"), F.col("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
