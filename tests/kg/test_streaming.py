@@ -52,6 +52,26 @@ def test_tumbling_parity(spark, transcript_files, tmp_path):
     )
 
 
+def test_sliding_parity(spark, transcript_files, tmp_path):
+    """X2: sliding-window stream == the identical batch groupBy (each
+    event lands in width/slide = 2 windows)."""
+    stream = face.stream_transcripts(spark, transcript_files)
+    _drain(face.sliding_counts(stream), tmp_path, "slide")
+    got = spark.sql("SELECT * FROM slide").toPandas()
+    batch = (
+        spark.read.parquet(transcript_files)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+        .toPandas()
+    )
+    key = ["wstart"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        batch.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_session_parity(spark, transcript_files, tmp_path):
     stream = face.stream_transcripts(spark, transcript_files)
     _drain(face.session_counts(stream), tmp_path, "sess")
