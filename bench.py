@@ -184,6 +184,18 @@ CONFIGS = tuple(
 )
 
 
+def _phys_cores() -> int:
+    """The core budget actually usable by this process (cpu AFFINITY
+    under cgroup/quota limits, not the host's raw cpu_count) — the ONE
+    number both the headline-pair selection and the emitted
+    headline_rule string report, so the recorded rule always states
+    the threshold actually applied."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:
+        return os.cpu_count() or 32
+
+
 def _headline_pair(pairs: list[tuple[int, int]]) -> tuple[int, int]:
     """A-priori headline selection, independent of measured results:
     the largest N→4N pair whose 4N config's EFFECTIVE core demand
@@ -195,13 +207,9 @@ def _headline_pair(pairs: list[tuple[int, int]]) -> tuple[int, int]:
     on a real cluster N and 4N *executors* bring their own bandwidth.
     On this box (32 cores): 2·8=16 < 32 → (2,8) headline; 2·16=32 ≮ 32
     → (4,16) reported but saturated; on a 64-core host the same rule
-    would pick (4,16).  Core count comes from the process's cpu
-    AFFINITY (the actually-usable budget under cgroup/quota limits),
-    not the host's raw cpu_count."""
-    try:
-        phys = len(os.sched_getaffinity(0))
-    except AttributeError:
-        phys = os.cpu_count() or 32
+    would pick (4,16).  Core count comes from _phys_cores() — the same
+    value the summary's headline_rule string reports."""
+    phys = _phys_cores()
     fits = [(a, b) for a, b in pairs if 2 * b < phys]
     if fits:
         return max(fits)
@@ -248,7 +256,7 @@ def run_scaling() -> None:
         "unit": "ratio",
         "headline_rule": (
             "largest N->4N pair with 2*(4N) < physical cores "
-            f"({os.cpu_count()}); see bench._headline_pair — fixed a "
+            f"({_phys_cores()}); see bench._headline_pair — fixed a "
             "priori, all pairs reported below with equal prominence"
         ),
         "queries": {

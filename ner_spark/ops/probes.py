@@ -6,9 +6,15 @@ tags the operator, ``row_repr`` is a ``|``-joined rendering of every
 original column.  Floats pass through fixed-scale DECIMAL so both
 engines format identically ("1.50"), where a raw double→string cast
 would not (Spark "1.2E8" vs DuckDB "120000000.0"); NULL → '∅'
-explicitly since concat_ws drops NULLs.  All-string schemas always
-sort under the driver's canonicalization, and the rendering is exactly
-as strong as comparing each branch separately.
+explicitly since concat_ws drops NULLs.  The rendering is INJECTIVE:
+each cell escapes ``\\`` → ``\\\\``, ``|`` → ``\\|`` and ``∅`` →
+``\\∅`` (identical replace chain in both engines) before joining, so
+after escaping a bare ``|`` only ever means "column boundary" and a
+bare ``∅`` only ever means NULL — distinct row tuples can never
+collide into one rendering (('a|b','c') vs ('a','b|c'), or a data
+cell that IS the null marker).  All-string schemas always sort under
+the driver's canonicalization, and the rendering is exactly as strong
+as comparing each branch separately.
 
 PRECONDITION on ``dec`` scales: the branch must already round the
 column to AT MOST the cast scale (the catalog convention — every
@@ -32,6 +38,13 @@ from pyspark.sql import DataFrame, functions as F
 NULL_MARK = "∅"
 
 
+def _escaped(s):
+    """Injective cell escaping (order matters: backslash first)."""
+    s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit("|"), F.lit("\\|"))
+    return F.replace(s, F.lit(NULL_MARK), F.lit("\\" + NULL_MARK))
+
+
 def tagged(tag: str, df: DataFrame, dec: dict[str, int] | None = None):
     """Render every row of ``df`` as (probe=tag, row_repr=c1|c2|…).
     ``dec`` maps float column → decimal scale."""
@@ -40,7 +53,7 @@ def tagged(tag: str, df: DataFrame, dec: dict[str, int] | None = None):
         e = F.col(c)
         if dec and c in dec:
             e = e.cast(f"decimal(38,{dec[c]})")
-        exprs.append(F.coalesce(e.cast("string"), F.lit(NULL_MARK)))
+        exprs.append(F.coalesce(_escaped(e.cast("string")), F.lit(NULL_MARK)))
     return df.select(
         F.lit(tag).alias("probe"), F.concat_ws("|", *exprs).alias("row_repr")
     )
@@ -65,7 +78,11 @@ def wrap(tag: str, cols: list[str], inner: str,
         expr = c
         if dec and c in dec:
             expr = f"CAST({c} AS DECIMAL(38,{dec[c]}))"
-        parts.append(f"coalesce(CAST({expr} AS VARCHAR), '{NULL_MARK}')")
+        esc = (
+            f"replace(replace(replace(CAST({expr} AS VARCHAR), "
+            f"'\\', '\\\\'), '|', '\\|'), '{NULL_MARK}', '\\{NULL_MARK}')"
+        )
+        parts.append(f"coalesce({esc}, '{NULL_MARK}')")
     return (
         f"SELECT '{tag}' AS probe, concat_ws('|', {', '.join(parts)}) "
         f"AS row_repr FROM ({inner})"

@@ -34,7 +34,7 @@ what broadcasts, what prunes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ner_spark.io.read import table

@@ -106,7 +106,32 @@ def hyperplane_signature(vec_col, n_bits: int = 12):
     return sig
 
 
-def ann_lsh(e: DataFrame, n_bits: int | None = None) -> DataFrame:
+# Corpus-size cache for adaptive bucket sizing: the count is one cheap
+# job paid once per (context, table), not per ann_lsh() call — building
+# the DataFrame stays lazy on every later invocation (catalog-wide
+# build loops in tests/tools were paying a Spark job per call).
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _cached_count(e: DataFrame, cache_key: str | None) -> int:
+    if cache_key is None:
+        return e.count()
+    key = (e.sparkSession.sparkContext.applicationId, cache_key)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = e.count()
+    return _COUNT_CACHE[key]
+
+
+def adaptive_bits(n: int) -> int:
+    """~64 vectors per bucket at any corpus size, clamped to [4, 24]."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n, 2) / 64))))
+
+
+def ann_lsh(
+    e: DataFrame, n_bits: int | None = None, cache_key: str | None = None
+) -> DataFrame:
     """ANN via random-hyperplane LSH over an embeddings-shaped frame
     (vec_id, embedding): queries probe only their own bucket
     (n_bits-signature buckets), then exact cosine + top-3 within it.
@@ -118,12 +143,10 @@ def ann_lsh(e: DataFrame, n_bits: int | None = None) -> DataFrame:
     (16 buckets) or 10⁹ (2²⁴).  A fixed bucket count can't serve both:
     round 2's hardcoded 12 bits put 4096 buckets under 500 vectors and
     queries probed near-empty cells.  The sizing count is one cheap
-    metadata-level job, paid once per index build."""
+    job, cached per (context, ``cache_key``) so repeated index builds
+    over the same table stay lazy (pass ``n_bits`` to skip it)."""
     if n_bits is None:
-        import math
-
-        n = e.count()
-        n_bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 64))))
+        n_bits = adaptive_bits(_cached_count(e, cache_key))
     with_sig = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
@@ -155,7 +178,7 @@ def sim_lsh(spark, sf_dir):
     ≈ its scanned fraction here; algorithm recall is pytest-verified
     on a PLANTED clustered fixture instead
     (tests/unit_ops/test_similarity_ann.py)."""
-    return ann_lsh(table(spark, sf_dir, "embeddings"))
+    return ann_lsh(table(spark, sf_dir, "embeddings"), cache_key=sf_dir)
 
 
 IVF_K = 16  # coarse centroids
@@ -180,36 +203,51 @@ def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
     iterations (assign = argmax cosine vs broadcast-literal centroids;
     update = per-dimension avg, one groupBy).  Centroids are a tiny
     model artifact collected to the driver — at 100 TB train them on a
-    deterministic sample exactly like this and reuse across queries."""
-    seeds = (
-        corpus.withColumn("h", F.xxhash64("nid"))
-        .orderBy("h", "nid")
-        .limit(k)
-        .select("cv")
-        .collect()
-    )
-    cents = [[float(x) for x in r["cv"]] for r in seeds]
-    dim = len(cents[0])
-    for _ in range(IVF_ITERS):
-        sims = _cell_sims(F.col("cv"), cents)
-        assigned = corpus.select(
-            "cv", F.array_position(sims, F.array_max(sims)).cast("int").alias("cell")
-        )
-        rows = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at("cv", i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
+    deterministic sample exactly like this and reuse across queries.
+
+    The training loop runs 1 + IVF_ITERS jobs over ``corpus`` (seed
+    pick + one assign/update per Lloyd iteration); the corpus is
+    PERSISTED for the duration so the upstream scan runs ONCE — the
+    seed job fills the cache, every Lloyd pass reads it (at 10⁹
+    vectors, re-scanning per job would quadruple the dominant IO;
+    tests/unit_ops/test_similarity_ann.py counts the materializations
+    with an accumulator-instrumented source)."""
+    from pyspark import StorageLevel
+
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seeds = (
+            corpus.withColumn("h", F.xxhash64("nid"))
+            .orderBy("h", "nid")
+            .limit(k)
+            .select("cv")
             .collect()
         )
-        new = list(cents)  # empty cells keep their previous centroid
-        for r in rows:
-            new[int(r["cell"]) - 1] = [float(r[f"d{i}"]) for i in range(dim)]
-        cents = new
-    return cents
+        cents = [[float(x) for x in r["cv"]] for r in seeds]
+        dim = len(cents[0])
+        for _ in range(IVF_ITERS):
+            sims = _cell_sims(F.col("cv"), cents)
+            assigned = corpus.select(
+                "cv",
+                F.array_position(sims, F.array_max(sims)).cast("int").alias("cell"),
+            )
+            rows = (
+                assigned.groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.element_at("cv", i + 1)).alias(f"d{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new = list(cents)  # empty cells keep their previous centroid
+            for r in rows:
+                new[int(r["cell"]) - 1] = [float(r[f"d{i}"]) for i in range(dim)]
+            cents = new
+        return cents
+    finally:
+        corpus.unpersist()
 
 
 def ann_ivf(

@@ -26,6 +26,8 @@ ROWS = [
     (5, "unicode ✓ 中文", 123.45),
     (6, "null-mark ∅ in data", -0.0),
     (7, "x", -987654321.12),
+    (8, "back\\slash and \\| both", 2.0),
+    (9, "∅", 3.0),  # a cell that IS the bare null marker
 ]
 
 
@@ -47,6 +49,18 @@ def test_probe_rendering_engine_equivalence(spark, frames):
     sql = wrap("t", ["k", "s", "d"], "SELECT * FROM v", dec={"d": 2})
     ok, msg = compare_query(spark_probe, con.sql(sql))
     assert ok, msg
+
+
+def test_probe_rendering_is_injective(spark):
+    """Distinct row tuples must render distinctly: the unescaped
+    rendering collided ('a|b','c') with ('a','b|c'), and a data cell
+    holding the bare null marker with an actual NULL."""
+    sdf = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("∅", "x"), (None, "x")],
+        "u string, v string",
+    )
+    reprs = [r["row_repr"] for r in tagged("t", sdf).collect()]
+    assert len(set(reprs)) == len(reprs), f"collision in {reprs}"
 
 
 def test_decimal_cast_tie_diverges_between_engines(spark):

@@ -74,6 +74,35 @@ def test_ivf_recall_on_planted_clusters(spark, planted):
     assert recall >= 0.9, (recall, sorted(truth - got))
 
 
+def test_ivf_training_scans_corpus_once(spark):
+    """ivf_centroids runs 1 + IVF_ITERS jobs over the corpus (seed +
+    Lloyd assign/updates); the internal persist must make the upstream
+    source materialize ONCE — an accumulator-instrumented source counts
+    exactly n row-visits, where the unpersisted loop would count
+    (1 + IVF_ITERS)·n."""
+    from ner_spark.ops.similarity import ivf_centroids
+
+    n = 120
+    rows = [
+        (i, [float(((i + j) % 5) + 1) for j in range(4)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "nid long, cv array<double>")
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    corpus = df.mapInPandas(count_rows, df.schema)
+    cents = ivf_centroids(corpus, k=4)
+    assert len(cents) == 4
+    assert acc.value == n, (
+        f"corpus materialized {acc.value / n:.1f}x during centroid "
+        f"training — the persist is not covering the Lloyd passes"
+    )
+
+
 def test_lsh_recall_on_planted_clusters(spark, planted):
     # 6-bit buckets: tight clusters (pairwise cosine ≥ ~0.99) land in
     # the same bucket with near-certainty; cross-cluster rarely does
