@@ -203,6 +203,62 @@ def commit_stage(
     return spark.read.parquet(data_dir).drop("part")
 
 
+def resume_contract_violations(spark: SparkSession) -> int:
+    """Run the commit → corrupt → revalidate → resume scenario in a
+    scratch dir and count failed expectations (0 = the resume/lineage
+    protocol behaves) — the externally-scored probe behind the
+    ``kg_contracts`` catalog query's ``lineage_resume`` row:
+
+    1. a fresh commit validates clean;
+    2. deleting one bucket's lineage row makes validation FAIL (data
+       without lineage = torn write detected);
+    3. a resumed commit recomputes exactly the missing bucket and
+       validates clean again;
+    4. the resumed table is bit-identical (count + row checksum) to
+       the original commit.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ner_spark_lincheck_")
+    try:
+        df = spark.range(200).select(
+            F.concat(F.lit("c"), (F.col("id") % 40).cast("string")).alias(
+                "conv_id"
+            ),
+            (F.col("id") / 40).cast("int").alias("turn_idx"),
+            F.col("id").alias("val"),
+        )
+
+        def checksum(d: DataFrame) -> tuple[int, int]:
+            r = d.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("conv_id", "turn_idx", "val")),
+                    F.lit(0),
+                ).alias("cs"),
+            ).collect()[0]
+            return int(r["n"]), int(r["cs"])
+
+        first = checksum(commit_stage(df, tmp, "s1", n_buckets=8))
+        ok_clean = validate_stage(spark, tmp, "s1")
+        ldir = _lineage_dir(tmp, "s1")
+        victims = sorted(f for f in os.listdir(ldir) if f.endswith(".json"))
+        os.remove(os.path.join(ldir, victims[0]))
+        ok_detects = not validate_stage(spark, tmp, "s1")
+        n_left = len(committed_buckets(spark, tmp, "s1", n_buckets=8))
+        second = checksum(commit_stage(df, tmp, "s1", n_buckets=8))
+        ok_revalid = validate_stage(spark, tmp, "s1")
+        ok_same = second == first
+        ok_partial = n_left == len(victims) - 1
+        return sum(
+            0 if ok else 1
+            for ok in (ok_clean, ok_detects, ok_revalid, ok_same, ok_partial)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def validate_stage(spark: SparkSession, root: str, stage: str) -> bool:
     """Re-checksum committed data against lineage (detects torn
     writes: data without lineage is recomputed, lineage without data

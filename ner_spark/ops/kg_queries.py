@@ -47,6 +47,14 @@ def _parts_for_cap(spark, cap: int = _CAP) -> int:
     return max(min(4 * par, est_turns // 64 or 1), par)
 
 
+def reset_stage_cache() -> None:
+    """Unpersist and drop every cached stage DAG — for benchmarks
+    that re-measure the kg family cold (each bench pass must pay the
+    same tagging/persist work, or best-of-N would report cache reads
+    as query cost)."""
+    _evict_other_keys(key=None)
+
+
 def _evict_other_keys(key) -> None:
     """Single-entry cache: unpersist and drop every other key so
     executor storage is bounded regardless of how many (app, sf_dir)
@@ -206,17 +214,98 @@ def kg_edges(spark, sf_dir):
     return _stages(spark, sf_dir, materialize=True)["edges"]
 
 
-@register("kg_triple_stats")  # ⊘
-def kg_triple_stats(spark, sf_dir):
-    """Aggregated triple distribution — a compact, shape-stable view
-    of the whole slice (pred class × type pair counts)."""
-    triples = _stages(spark, sf_dir)["triples"]
-    pred_class = F.when(
-        F.col("pred").isin("co_occurs", "same_context"), F.col("pred")
-    ).otherwise(F.lit("lexical"))
-    return (
-        triples.groupBy(
-            pred_class.alias("pred_class"), "subj_type", "obj_type"
+_KG_CONTRACTS = [
+    "byte_exact",
+    "mention_orphans",
+    "mention_id_unique",
+    "bio_bmes_parity",
+    "triple_refs",
+    "lineage_resume",
+]
+
+_KG_CONTRACTS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS contract, CAST(0 AS BIGINT) AS violations"
+    for c in _KG_CONTRACTS
+)
+
+
+@register("kg_contracts", oracle=_KG_CONTRACTS_SQL)
+def kg_contracts(spark, sf_dir):
+    """Externally-scored invariants of the KG flagship family (the
+    pipeline itself is not SQL-expressible, but its CONTRACTS are
+    checkable in-query: each row is a violation count the oracle pins
+    to zero — replacing round 3's row-count-only stability signal with
+    falsifiable invariants):
+
+    - ``byte_exact``: every mention's ``substr(text, start+1,
+      end-start) == surface`` against the original transcript row
+      (the core invariant, BASELINE.json input_hint);
+    - ``mention_orphans``: every mention joins back to a transcript
+      turn;
+    - ``mention_id_unique``: xxhash64 mention ids don't collide;
+    - ``bio_bmes_parity``: the BIO-trained and BMES-trained model
+      paths emit identical span sets (multiset symmetric difference);
+    - ``triple_refs``: every triple's subj/obj mention id exists in
+      mentions (referential integrity of the co-occurrence algebra);
+    - ``lineage_resume``: the commit → corrupt → detect → resume →
+      revalidate scenario behaves end-to-end in a scratch dir
+      (checkpoint/lineage.resume_contract_violations).
+    """
+    from ner_spark.ner.tagger import tag_mentions
+
+    st = _stages(spark, sf_dir)
+    mentions = st["mentions"]
+    triples = st["triples"]
+    txt = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+
+    def cnt(name: str, df):
+        return df.agg(F.count("*").cast("long").alias("violations")).select(
+            F.lit(name).alias("contract"), "violations"
         )
-        .agg(F.count("*").alias("n"))
+
+    sub = F.col("text").substr(
+        F.col("start") + 1, F.col("end") - F.col("start")
     )
+    byte_exact = cnt(
+        "byte_exact",
+        mentions.join(txt, ["conv_id", "turn_idx"]).filter(
+            ~F.coalesce(sub == F.col("surface"), F.lit(False))
+        ),
+    )
+    orphans = cnt(
+        "mention_orphans",
+        mentions.join(txt, ["conv_id", "turn_idx"], "left_anti"),
+    )
+    dup_ids = cnt(
+        "mention_id_unique",
+        mentions.groupBy("mention_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    span_cols = ["conv_id", "turn_idx", "start", "end", "label"]
+    bio = mentions.select(*span_cols)
+    bmes = tag_mentions(
+        _transcripts(spark, sf_dir),
+        mode="model_bmes",
+        num_partitions=_parts_for_cap(spark),
+    ).select(*span_cols)
+    parity = cnt(
+        "bio_bmes_parity", bio.exceptAll(bmes).unionAll(bmes.exceptAll(bio))
+    )
+    refs = triples.select(
+        F.col("subj_mention_id").alias("mention_id")
+    ).unionAll(triples.select(F.col("obj_mention_id").alias("mention_id")))
+    triple_refs = cnt(
+        "triple_refs",
+        refs.join(mentions.select("mention_id"), "mention_id", "left_anti"),
+    )
+    from ner_spark.checkpoint.lineage import resume_contract_violations
+
+    lineage = spark.createDataFrame(
+        [("lineage_resume", resume_contract_violations(spark))],
+        "contract string, violations long",
+    )
+    out = byte_exact
+    for part in (orphans, dup_ids, parity, triple_refs, lineage):
+        out = out.unionByName(part)
+    return out

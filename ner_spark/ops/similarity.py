@@ -57,7 +57,13 @@ def sim_brute(spark, sf_dir):
     set against the corpus, rank with a per-query window.  At 100 TB
     the corpus side never shuffles — only |Q|·k rows survive the
     window, and AQE coalesces."""
-    e = table(spark, sf_dir, "embeddings")
+    return brute_topk(table(spark, sf_dir, "embeddings"))
+
+
+def brute_topk(e: DataFrame) -> DataFrame:
+    """Exact cosine top-3 per query over an embeddings-shaped frame —
+    the body of ``sim_brute``, reusable as the ground truth for the
+    ANN recall contracts."""
     q = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), _dbl("embedding").alias("qv")
     )
@@ -130,7 +136,10 @@ def adaptive_bits(n: int) -> int:
 
 
 def ann_lsh(
-    e: DataFrame, n_bits: int | None = None, cache_key: str | None = None
+    e: DataFrame,
+    n_bits: int | None = None,
+    cache_key: str | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH over an embeddings-shaped frame
     (vec_id, embedding): queries probe only their own bucket
@@ -144,7 +153,15 @@ def ann_lsh(
     round 2's hardcoded 12 bits put 4096 buckets under 500 vectors and
     queries probed near-empty cells.  The sizing count is one cheap
     job, cached per (context, ``cache_key``) so repeated index builds
-    over the same table stay lazy (pass ``n_bits`` to skip it)."""
+    over the same table stay lazy (pass ``n_bits`` to skip it).
+
+    ``multiprobe=True``: each query also probes the ``n_bits`` buckets
+    at hamming distance 1 from its own (standard multiprobe LSH) —
+    boundary-robust recall for vectors near a hyperplane, at
+    (n_bits+1)·2^-n_bits scanned fraction instead of 2^-n_bits.  Only
+    the tiny broadcast query side fans out; the corpus stays bucketed
+    once, and each (query, corpus) pair still scores at most once (a
+    corpus vector lives in exactly one bucket)."""
     if n_bits is None:
         n_bits = adaptive_bits(_cached_count(e, cache_key))
     with_sig = e.select(
@@ -155,6 +172,15 @@ def ann_lsh(
     q = with_sig.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
+    if multiprobe:
+        probed = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(n_bits)
+            ],
+        )
+        q = q.select("qid", "qv", F.explode(probed).alias("bucket"))
     c = with_sig.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("nid"), F.col("v").alias("cv"), "bucket"
     )
@@ -169,16 +195,97 @@ def ann_lsh(
     )
 
 
-@register("sim_lsh")  # ⊘ rows-only: bucket hash family is engine-specific
+# --- ANN recall contracts (the A3 pattern) --------------------------
+#
+# The driver's synthetic embeddings are near-random (within-label avg
+# cosine 0.0016 vs 0.0003 across — no cluster structure), so any
+# pruning ANN there recalls ≈ its scanned fraction — that would
+# measure the data, not the algorithm.  The contracts therefore run
+# the REAL ann_lsh / ann_ivf operators over a PLANTED clustered frame
+# derived deterministically from the embeddings table's row set (8
+# tight clusters keyed by vec_id, centers/noise from xxhash64 — no
+# RNG state, identical on every executor and every run), where a
+# correct bucketing/probing must recover the brute-force top-3 and a
+# broken one cannot.  The in-Spark recall boolean plus SQL-predictable
+# counts are what the DuckDB oracle checks.
+
+P_CLUSTERS = 8
+P_DIM = 16
+P_NOISE = 0.05
+
+
+def _unit(salt: str, a, b):
+    """Deterministic pseudo-uniform in [-1, 1) from xxhash64."""
+    return (
+        F.pmod(F.xxhash64(F.lit(salt), a, b), F.lit(2000)).cast("double")
+        / 1000.0
+        - 1.0
+    )
+
+
+def planted_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with planted cluster structure: cluster =
+    vec_id mod P_CLUSTERS, vector = cluster center + P_NOISE·noise,
+    both xxhash64-derived."""
+    idx = F.sequence(F.lit(0), F.lit(P_DIM - 1))
+    cluster = F.col("vec_id") % P_CLUSTERS
+    emb = F.transform(
+        idx,
+        lambda j: _unit("pc", cluster, j)
+        + P_NOISE * _unit("pn", F.col("vec_id"), j),
+    )
+    return e.select("vec_id", emb.alias("embedding"))
+
+
+def _ann_recall_contract(spark, sf_dir, ann_fn, bound: float) -> DataFrame:
+    """Shared contract shape: run ``ann_fn`` over the planted frame,
+    compare to brute-force top-3, emit (n_corpus, n_truth, recall_ok)
+    where the oracle predicts n_corpus/n_truth from SQL and expects
+    recall_ok TRUE."""
+    e = table(spark, sf_dir, "embeddings")
+    planted = planted_embeddings(e)
+    truth = brute_topk(planted).select("qid", "nid")
+    got = ann_fn(planted).select("qid", "nid")
+    hits = truth.join(got, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = truth.agg(F.count("*").alias("n_truth"))
+    n_corpus = e.filter(F.col("vec_id") >= N_QUERY).agg(
+        F.count("*").alias("n_corpus")
+    )
+    return (
+        n_corpus.crossJoin(tot)
+        .crossJoin(hits)
+        .select(
+            "n_corpus",
+            "n_truth",
+            (F.col("n_hit") >= bound * F.col("n_truth")).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_CONTRACT_SQL = f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             WHERE vec_id >= {N_QUERY}) AS n_corpus,
+           CAST({3 * N_QUERY} AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+"""
+
+
+@register("sim_lsh", oracle=_ANN_CONTRACT_SQL)
 def sim_lsh(spark, sf_dir):
-    """ann_lsh over the driver's embeddings table (adaptive bucket
-    count — ~64 vectors/bucket at any corpus size).  NB the synthetic
-    embeddings are near-random (within-label avg cosine 0.0016 vs
-    0.0003 across — no cluster structure), so ANY pruning ANN recalls
-    ≈ its scanned fraction here; algorithm recall is pytest-verified
-    on a PLANTED clustered fixture instead
-    (tests/unit_ops/test_similarity_ann.py)."""
-    return ann_lsh(table(spark, sf_dir, "embeddings"), cache_key=sf_dir)
+    """Hyperplane-LSH ANN recall contract, externally scored: ann_lsh
+    (16 buckets, multiprobe) over the planted clustered frame must
+    recover ≥ 80 % of the brute-force top-3 (tight clusters land in
+    one bucket; multiprobe covers cluster members split across a
+    hyperplane — measured 1.0 vs 0.87 single-probe here).  n_truth =
+    3·N_QUERY also proves brute force returned a full top-3 per query.
+    The production-shaped adaptive-bucket path over the raw table
+    stays available as ``ann_lsh(table, cache_key=...)`` (pytest +
+    plan audit)."""
+    return _ann_recall_contract(
+        spark, sf_dir, lambda p: ann_lsh(p, n_bits=4, multiprobe=True), 0.8
+    )
 
 
 IVF_K = 16  # coarse centroids
@@ -297,13 +404,17 @@ def ann_ivf(
     )
 
 
-@register("sim_ivf")  # ⊘ rows-only: k-means training not SQL-expressible
+@register("sim_ivf", oracle=_ANN_CONTRACT_SQL)
 def sim_ivf(spark, sf_dir):
-    """ann_ivf over the driver's embeddings table (same data caveat as
-    sim_lsh: near-random vectors → recall ≈ scanned fraction; the
-    algorithm's recall contract is pytest-pinned on a planted
-    clustered fixture)."""
-    return ann_ivf(table(spark, sf_dir, "embeddings"))
+    """IVF ANN recall contract, externally scored: ann_ivf (k = 8
+    centroids = the planted cluster count, nprobe = 2) over the
+    planted clustered frame must recover ≥ 90 % of the brute-force
+    top-3 — Lloyd converges onto the planted centers, so each query's
+    cluster is inside its probed cells.  Same oracle shape as
+    sim_lsh."""
+    return _ann_recall_contract(
+        spark, sf_dir, lambda p: ann_ivf(p, k=P_CLUSTERS, nprobe=2), 0.9
+    )
 
 
 @register(

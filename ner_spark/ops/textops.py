@@ -245,7 +245,15 @@ def dedup_ngram(spark, sf_dir):
     Blocking keys bound the join fan-out; at 100 TB the shingle join
     shuffles (block, shingle) once and AQE handles hot shingles.
     """
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), 0.35)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, thresh: float) -> DataFrame:
+    """Exact 5-gram Jaccard ≥ ``thresh`` pairs within (lang, source)
+    blocks over a documents-shaped frame — the body of ``dedup_ngram``,
+    parameterized so the MinHash recall contract can reuse the exact
+    twin at its own threshold over an augmented corpus."""
+    d = docs.filter(F.length("text") >= 5)
     sh = d.select(
         "doc_id",
         "lang",
@@ -292,7 +300,7 @@ def dedup_ngram(spark, sf_dir):
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jacc >= 0.35)
+        .filter(jacc >= thresh)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
@@ -454,14 +462,126 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_minhash")  # ⊘ rows-only (hash family engine-specific)
-def dedup_minhash(spark, sf_dir):
+def minhash_candidates(spark, sf_dir) -> DataFrame:
     """MinHash+LSH near-dup candidates (the scale path for dedup_ngram:
     cost drops from |pairs sharing a shingle| to |pairs sharing a
-    band bucket|).  pytest checks recall vs the exact-jaccard oracle."""
+    band bucket|) — the raw operator; ``bench.py`` times THIS, the
+    catalog's ``dedup_minhash`` externally proves its recall/estimator
+    contract instead (the pair set itself is a function of the
+    engine-specific hash family, so it has no cross-engine oracle)."""
     d = table(spark, sf_dir, "documents")
     return lsh_candidate_pairs(minhash_signatures(d)).filter(
         F.col("est_jaccard") >= 0.3
+    )
+
+
+# --- MinHash behavioral contract (the A3 pattern: compute the
+# guarantee in-Spark, emit values a plain-SQL oracle predicts) -------
+
+# Deterministic planted near-duplicates: every ≥100-char document with
+# doc_id ≡ 0 (mod 10) gets a copy (doc_id + PLANT_OFFSET) with a small
+# suffix appended — 5-gram jaccard ≥ ~0.88, far above the LSH banding
+# knee (P[candidate] = 1-(1-j⁴)^16 ≈ 1.0 at j = 0.88), so the ≥ 0.9
+# recall bound holds with wide margin and is a FIXED function of the
+# dataset (hash family is RNG-free), not a statistical coin flip.
+PLANT_OFFSET = 1_000_000
+PLANT_SUFFIX = " the end"
+_PLANT_PRED_SQL = "length(text) >= 100 AND doc_id % 10 = 0"
+
+
+def planted_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ deterministic near-dup copies (see PLANT_OFFSET)."""
+    base = docs.select("doc_id", "lang", "source", "text")
+    copies = base.filter(
+        (F.length("text") >= 100) & (F.col("doc_id") % 10 == 0)
+    ).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    return base.unionByName(copies)
+
+
+_DEDUP_MINHASH_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id, lang, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET}, lang, source, text || '{PLANT_SUFFIX}'
+      FROM documents WHERE {_PLANT_PRED_SQL}
+    ), pos AS (
+      SELECT doc_id, lang, source, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM aug WHERE length(text) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, source,
+             substring(text, CAST(i AS INT), 5) AS shingle
+      FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), exact AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE {_PLANT_PRED_SQL}) AS n_planted,
+           TRUE AS recall_ok, TRUE AS est_ok
+"""
+
+
+@register("dedup_minhash", oracle=_DEDUP_MINHASH_SQL)
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH recall/estimator contract, externally scored (the
+    A3 behavioral-oracle pattern — the candidate-pair set itself is a
+    function of the engine-specific hash family, so the SQL-checkable
+    claims are the guarantees):
+
+    - ``n_exact``: exact 5-gram-jaccard ≥ 0.5 pairs over the corpus
+      augmented with deterministic planted near-dups — computed by the
+      SAME exact-twin algebra as ``dedup_ngram`` in Spark and verbatim
+      SQL in DuckDB (a real cross-engine exactness check);
+    - ``recall_ok``: the LSH candidate set (est ≥ 0.3) covers ≥ 90 %
+      of those exact pairs;
+    - ``est_ok``: on recalled pairs, |est_jaccard − true jaccard|
+      ≤ 0.2 (64-perm estimator accuracy).
+
+    The oracle expects TRUE for both booleans; the raw candidate
+    operator stays available as ``minhash_candidates`` (bench +
+    pytest recall tests)."""
+    aug = planted_near_dups(table(spark, sf_dir, "documents"))
+    exact = ngram_jaccard_pairs(aug, 0.5)
+    cand = lsh_candidate_pairs(minhash_signatures(aug, balance=False)).filter(
+        F.col("est_jaccard") >= 0.3
+    )
+    hit = exact.join(cand, ["doc_a", "doc_b"], "left")
+    stats = hit.agg(
+        F.count("*").alias("n_exact"),
+        F.count("est_jaccard").alias("n_found"),
+        F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("err"),
+    )
+    n_planted = (
+        table(spark, sf_dir, "documents")
+        .filter((F.length("text") >= 100) & (F.col("doc_id") % 10 == 0))
+        .agg(F.count("*").alias("n_planted"))
+    )
+    return stats.crossJoin(n_planted).select(
+        "n_exact",
+        "n_planted",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") >= 0.9 * F.col("n_exact"))
+        ).alias("recall_ok"),
+        (F.col("err").isNull() | (F.col("err") <= 0.2)).alias("est_ok"),
     )
 
 
@@ -471,12 +591,15 @@ SIMHASH_CHUNKS = 8  # 8×8-bit chunks: every ≤7-bit hamming pair shares
 #                     recall-guaranteed by the bucketing.
 
 
-def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign-aggregated token-hash
-    bits; candidates share one of 8 8-bit chunks.  Pure bit arithmetic
-    on higher-order array functions — no UDF.  ``balance=False`` for
-    derived (post-shuffle) inputs — same contract as
-    minhash_signatures (see _balance's docstring on the AQE probe)."""
+def simhash_signatures(d: DataFrame, balance: bool = True) -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash signatures: sign-aggregated
+    token-hash bits, pure bit arithmetic on higher-order array
+    functions — no UDF.  ``balance=False`` for derived (post-shuffle)
+    inputs — same contract as minhash_signatures (see _balance's
+    docstring on the AQE probe).  Output is exchanged on doc_id so
+    every downstream consumer (the chunk self-join's two sides, the
+    pigeonhole contract's brute-force check) reads ONE materialized
+    shuffle instead of re-running the 64-bit vote fold per reference."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # bit b of simhash = 1 iff sum over tokens of (+1 if bit set else
@@ -504,14 +627,22 @@ def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
     filtered = d.filter(F.trim("text") != "")
     if balance:
         filtered = _balance(filtered, "doc_id")
-    # The chunk self-join below references the signature plan TWICE
-    # (both aliases) — same 2×-recompute trap as lsh_candidate_pairs'
-    # three references: the 64-bit vote fold (64·|tokens| ops/doc) and
-    # the corpus scan would run per side.  One narrow exchange
-    # (doc_id + one long) materializes the stage once for both sides.
-    sigs = filtered.select("doc_id", sig.alias("simhash")).repartition(
+    # The chunk self-join references the signature plan TWICE (both
+    # aliases) — same 2×-recompute trap as lsh_candidate_pairs' three
+    # references: the 64-bit vote fold (64·|tokens| ops/doc) and the
+    # corpus scan would run per side.  One narrow exchange (doc_id +
+    # one long) materializes the stage once for every consumer.
+    return filtered.select("doc_id", sig.alias("simhash")).repartition(
         F.col("doc_id")
     )
+
+
+def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Bucketed SimHash near-dup pairs: candidates share one of 8
+    8-bit signature chunks; kept pairs have hamming ≤ 6 — which the
+    bucketing recalls COMPLETELY (pigeonhole: ≤ 7 differing bits leave
+    at least one clean chunk; the ``dedup_simhash`` contract query
+    proves the ≤ 6 equality externally every round)."""
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -550,6 +681,50 @@ def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # ⊘ rows-only
+def dedup_simhash_pairs(d: DataFrame, balance: bool = True) -> DataFrame:
+    """SimHash near-dup pairs over a documents-shaped frame (signature
+    + chunk-bucketed self-join) — the raw operator; the catalog's
+    ``dedup_simhash`` externally proves its pigeonhole guarantee."""
+    return simhash_candidate_pairs(simhash_signatures(d, balance=balance))
+
+
+_DEDUP_SIMHASH_SQL = """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE trim(text) != '') AS n_docs,
+           CAST(0 AS BIGINT) AS missed,
+           CAST(0 AS BIGINT) AS extra
+"""
+
+
+@register("dedup_simhash", oracle=_DEDUP_SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
-    return dedup_simhash_pairs(table(spark, sf_dir, "documents"))
+    """SimHash pigeonhole contract, externally scored: the chunk-
+    bucketed candidate set must equal EXACTLY the brute-force set of
+    pairs with hamming(simhash) ≤ 6 — guaranteed by construction (8
+    8-bit chunks: ≤ 7 differing bits leave one clean chunk shared by
+    both docs), so both symmetric-difference counts are provably 0,
+    not statistically 0.  ``missed`` = brute-force pairs the bucketing
+    lost, ``extra`` = bucketed pairs brute force rejects; the oracle
+    expects both 0 and predicts ``n_docs`` from SQL.  The brute-force
+    verifier is all-pairs O(n²) — gate-scale only; the OPERATOR under
+    test (signatures + chunk join) is the 100 TB path."""
+    sigs = simhash_signatures(table(spark, sf_dir, "documents"))
+    bucketed = simhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 6)
+        .select("doc_a", "doc_b")
+    )
+    missed = brute.join(bucketed, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("missed")
+    )
+    extra = bucketed.join(brute, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("extra")
+    )
+    n_docs = (
+        sigs.agg(F.count("*").alias("n_docs"))
+    )
+    return n_docs.crossJoin(missed).crossJoin(extra)

@@ -37,15 +37,23 @@ COMPOSITES = [
     "fn_json_date",
     "fn_math_hash",
     "mm_pipeline",
+    # behavioral-contract queries: their booleans are fixed functions
+    # of the dataset, so a second scale factor proves the guarantee
+    # isn't an artifact of one corpus size
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_lsh",
+    "sim_ivf",
 ]
 
 
 @pytest.mark.parametrize("name", COMPOSITES)
 def test_composite_parity_at_second_sf(spark, name):
-    """Composites re-checked at sf0.001 (the driver gates at one SF
-    only): a scale-dependent rendering bug — decimal overflow, a
-    branch whose result set degenerates at small data — would pass
-    the single-SF gate and surface later."""
+    """Composites and contract queries re-checked at sf0.001 (the
+    driver gates at one SF only): a scale-dependent rendering bug —
+    decimal overflow, a branch whose result set degenerates at small
+    data, a contract boolean that only holds at one corpus size —
+    would pass the single-SF gate and surface later."""
     import duckdb as _duckdb
 
     from ner_spark.io.read import TABLES

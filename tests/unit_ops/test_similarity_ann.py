@@ -113,3 +113,25 @@ def test_lsh_recall_on_planted_clusters(spark, planted):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, (recall, sorted(truth - got))
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark, planted):
+    """Multiprobe (1-bit-flip neighbor buckets) must be a strict
+    superset of single-probe candidates and at least as high recall —
+    the boundary-robustness the sim_lsh contract relies on."""
+    truth = _brute(planted)
+    single = {
+        (int(r["qid"]), int(r["nid"]))
+        for r in ann_lsh(planted, n_bits=6).collect()
+    }
+    multi = {
+        (int(r["qid"]), int(r["nid"]))
+        for r in ann_lsh(planted, n_bits=6, multiprobe=True).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= r_single
+    # a cluster straddling ≥ 2 hyperplanes can still evade 1-bit
+    # probes, so the hard bound stays 0.8; the sim_lsh contract's own
+    # planted frame measures 1.0 (vs 0.87 single-probe)
+    assert r_multi >= 0.8, (r_multi, sorted(truth - multi))
