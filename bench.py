@@ -63,19 +63,25 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def run_headline() -> None:
+def headline_callables() -> dict:
+    """Catalog queries with the bench-specific overrides applied.  The
+    catalog's dedup_minhash is the externally-scored recall CONTRACT
+    (it also computes the exact-jaccard twin); the bench and the plan
+    audit keep measuring the raw candidate OPERATOR — the same work
+    measured in every prior round, and the thing that runs at 100 TB."""
     from ner_spark.ops import all_queries
+    from ner_spark.ops.textops import minhash_candidates
+
+    queries = all_queries()
+    queries["dedup_minhash"] = minhash_candidates
+    return queries
+
+
+def run_headline() -> None:
     from ner_spark.session import get_spark
 
     spark = get_spark("ner_spark-bench", cores=CPUS)
-    queries = all_queries()
-    # The catalog's dedup_minhash is now the externally-scored recall
-    # CONTRACT (it also computes the exact-jaccard twin); the bench
-    # keeps timing the raw candidate OPERATOR — the same work measured
-    # in every prior round, and the thing that runs at 100 TB.
-    from ner_spark.ops.textops import minhash_candidates
-
-    queries["dedup_minhash"] = minhash_candidates
+    queries = headline_callables()
     # Untimed JVM/codegen/python-worker spin-up (same rationale as the
     # scaling bench's warmup pass: steady-state is what a long-running
     # 100 TB job measures).  Touches NO bench table, so every query

@@ -45,6 +45,7 @@ def load_all() -> None:
     from ner_spark.ops import textops  # noqa: F401
     from ner_spark.ops import similarity  # noqa: F401
     from ner_spark.ops import multimodal  # noqa: F401
+    from ner_spark.ops import stream_queries  # noqa: F401
     from ner_spark.ops import udf_surface  # noqa: F401
     from ner_spark.ops import graphops  # noqa: F401
     from ner_spark.ops import mapops  # noqa: F401

@@ -139,34 +139,30 @@ def kg_mentions(spark, sf_dir):
     return _stages(spark, sf_dir)["mentions"]
 
 
-@register("kg_mentions_gazetteer")  # ⊘
-def kg_mentions_gazetteer(spark, sf_dir):
-    """Stage 4 alternate: deterministic maximal-munch gazetteer matcher
-    through the same mapInPandas path."""
+@register("kg_mentions_alt")  # ⊘ (parity vs the BIO model path: kg_contracts + pytest)
+def kg_mentions_alt(spark, sf_dir):
+    """Stage 4 alternates through the same mapInPandas path, one
+    mode-tagged union (consolidated from two carriers in r4 to free a
+    gate slot for stream_contracts — both modes still run every round):
+
+    - ``gazetteer``: deterministic maximal-munch gazetteer matcher;
+    - ``model_bmes``: BMES label scheme THROUGH THE MODEL PATH — a
+      BMES-trained BiLSTM-CRF (model_tiny_bmes.npz, 13-tag transition
+      matrix) runs the batched Viterbi and decode_bmes inside the
+      distributed UDF, C9 end-to-end.  Span parity with the BIO model
+      is oracle-checked by kg_contracts' ``bio_bmes_parity`` row (the
+      gazetteer BMES codec stays pytest-covered via
+      mode="gazetteer_bmes")."""
     from ner_spark.ner.tagger import tag_mentions
 
-    return tag_mentions(
-        _transcripts(spark, sf_dir),
-        mode="gazetteer",
-        num_partitions=_parts_for_cap(spark),
-    )
+    def run(mode: str):
+        return tag_mentions(
+            _transcripts(spark, sf_dir),
+            mode=mode,
+            num_partitions=_parts_for_cap(spark),
+        ).withColumn("mode", F.lit(mode))
 
-
-@register("kg_mentions_bmes")  # ⊘ pytest: spans == the BIO model path
-def kg_mentions_bmes(spark, sf_dir):
-    """Stage 4, BMES label scheme THROUGH THE MODEL PATH: a
-    BMES-trained BiLSTM-CRF (model_tiny_bmes.npz, 13-tag transition
-    matrix) runs the batched Viterbi and decode_bmes inside the
-    distributed UDF — C9 end-to-end, not just the codec.  (The
-    gazetteer BMES codec path stays pytest-covered via
-    mode="gazetteer_bmes".)"""
-    from ner_spark.ner.tagger import tag_mentions
-
-    return tag_mentions(
-        _transcripts(spark, sf_dir),
-        mode="model_bmes",
-        num_partitions=_parts_for_cap(spark),
-    )
+    return run("gazetteer").unionByName(run("model_bmes"))
 
 
 @register("kg_triples")  # ⊘

@@ -303,14 +303,27 @@ def _cell_sims(vec_col, centroids):
     return F.array(*[cosine(vec_col, _lit_vec(c)) for c in centroids])
 
 
-def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
+IVF_TRAIN_CAP = 1_000_000  # max vectors the Lloyd loop trains on
+
+
+def ivf_centroids(
+    corpus: DataFrame, k: int = IVF_K, train_cap: int = IVF_TRAIN_CAP
+) -> list[list[float]]:
     """Deterministic coarse quantizer: seeds = the IVF_K corpus vectors
     with the smallest xxhash64(nid) (an RNG-free sample, stable under
     any partitioning), refined with IVF_ITERS distributed Lloyd
     iterations (assign = argmax cosine vs broadcast-literal centroids;
     update = per-dimension avg, one groupBy).  Centroids are a tiny
-    model artifact collected to the driver — at 100 TB train them on a
-    deterministic sample exactly like this and reuse across queries.
+    model artifact collected to the driver and reused across queries.
+
+    At 10⁹+ vectors the quantizer does NOT need the whole corpus:
+    training runs on a deterministic xxhash64 sample of ≤ ``train_cap``
+    rows (``pmod(xxhash64('ivf-sample', nid), 2³²) < threshold`` — a
+    pure row function, stable under any partitioning; k-means centroid
+    quality converges at O(√n) samples, so 10⁶ is generous for k ≤
+    4096 cells).  Small corpora pass the filter untouched — the
+    driver-gate result is identical with or without the cap, which the
+    planted-cluster pytest pins.
 
     The training loop runs 1 + IVF_ITERS jobs over ``corpus`` (seed
     pick + one assign/update per Lloyd iteration); the corpus is
@@ -323,8 +336,17 @@ def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
 
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        n = corpus.count()  # fills the cache; every later job reads it
+        train = corpus
+        if n > train_cap:
+            denom = 1 << 30
+            thresh = int(denom * (train_cap / n))
+            train = corpus.filter(
+                F.pmod(F.xxhash64(F.lit("ivf-sample"), "nid"), F.lit(denom))
+                < thresh
+            )
         seeds = (
-            corpus.withColumn("h", F.xxhash64("nid"))
+            train.withColumn("h", F.xxhash64("nid"))
             .orderBy("h", "nid")
             .limit(k)
             .select("cv")
@@ -334,7 +356,7 @@ def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
         dim = len(cents[0])
         for _ in range(IVF_ITERS):
             sims = _cell_sims(F.col("cv"), cents)
-            assigned = corpus.select(
+            assigned = train.select(
                 "cv",
                 F.array_position(sims, F.array_max(sims)).cast("int").alias("cell"),
             )
@@ -358,7 +380,10 @@ def ivf_centroids(corpus: DataFrame, k: int = IVF_K) -> list[list[float]]:
 
 
 def ann_ivf(
-    e: DataFrame, k: int = IVF_K, nprobe: int = IVF_NPROBE
+    e: DataFrame,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    train_cap: int = IVF_TRAIN_CAP,
 ) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization over an
     embeddings-shaped frame — the classic scale path alongside LSH:
@@ -370,7 +395,7 @@ def ann_ivf(
     corpus = e.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("nid"), _dbl("embedding").alias("cv")
     )
-    cents = ivf_centroids(corpus, k)
+    cents = ivf_centroids(corpus, k, train_cap=train_cap)
     csims = _cell_sims(F.col("cv"), cents)
     c = corpus.select(
         "nid",

@@ -1,0 +1,222 @@
+"""Streaming-face contract query (SURVEY.md §2.2 group H, external).
+
+Round 3 left X1–X7 pytest-only (⊘): Structured Streaming results are
+not ANSI-SQL-expressible over the pre-registered views.  What IS
+oracle-checkable is the PARITY CONTRACT the streaming face is built
+on — every event-time-keyed aggregate must produce, from an
+availableNow file stream, exactly the rows the identical batch
+expression produces on the same data.  ``stream_contracts`` runs the
+real readStream → writeStream machinery in-query (scratch dir input +
+checkpoints, multiple micro-batches) and emits one violation count per
+contract, which the DuckDB oracle pins to zero — the A3 behavioral
+pattern, same as kg_contracts.
+
+The input corpus is the deterministic transcript fixture (like every
+kg_* query, it is synthesized — sf_dir only keys the catalog shape),
+and all comparisons are multiset symmetric differences computed
+in-Spark, so any divergence — a dropped window, a duplicated row, a
+torn micro-batch commit — surfaces as a nonzero count the gate fails.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ner_spark.ops import register
+
+_N_CONVS = 40  # fixture conversations (~220 turns, 4 input files)
+_SEQ = 0
+
+
+def _drain(stream_df: DataFrame, ckpt_root: str, mode: str) -> DataFrame:
+    """Run an availableNow stream into a uniquely-named memory sink
+    and return the sink table (unique name: a long driver session may
+    invoke this query many times)."""
+    global _SEQ
+    _SEQ += 1
+    name = f"stream_contract_{os.getpid()}_{_SEQ}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(ckpt_root, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _sym_diff(a: DataFrame, b: DataFrame) -> int:
+    """Multiset symmetric-difference size (0 ⇔ identical result sets).
+
+    Computed as Σ|count_a − count_b| over a full-outer join of the two
+    sides' per-row multiplicity tables — NOT via ``exceptAll``, which
+    Catalyst rewrites through ``Generate(ReplicateRows(sum, …))`` and
+    (a) mis-binds pruned attributes on memory-sink inputs in Spark
+    4.1 (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) and (b) physically
+    replicates every row, where the count formulation ships only one
+    (row, count) pair per distinct row."""
+    from functools import reduce
+
+    cols = a.columns
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
+    cond = reduce(
+        lambda x, y: x & y, [ca[c].eqNullSafe(cb[c]) for c in cols]
+    )
+    d = ca.join(cb, cond, "full_outer").select(
+        F.abs(
+            F.coalesce("_na", F.lit(0)) - F.coalesce("_nb", F.lit(0))
+        ).alias("d")
+    )
+    return int(d.agg(F.sum("d")).first()[0] or 0)
+
+
+def streaming_contract_rows(spark: SparkSession) -> list[tuple[str, int]]:
+    """Run every streaming contract scenario; see module docstring."""
+    from ner_spark.fixtures.transcripts import transcripts_df
+    from ner_spark.streaming import face
+
+    tmp = tempfile.mkdtemp(prefix="ner_spark_streamc_")
+    try:
+        base = transcripts_df(spark, _N_CONVS)
+        in_dir = os.path.join(tmp, "in")
+        base.repartition(4).write.mode("overwrite").parquet(in_dir)
+        batch = spark.read.parquet(in_dir)
+        rows: list[tuple[str, int]] = []
+
+        def stream():
+            # 2 files/trigger over 4 files → ≥ 2 micro-batches, so the
+            # parity claims cover INCREMENTAL state, not one big batch
+            return face.stream_transcripts(spark, in_dir, max_files_per_trigger=2)
+
+        # X1 tumbling (+X4 watermark is on every aggregate)
+        got = _drain(face.tumbling_counts(stream()), tmp, "complete")
+        exp = (
+            batch.groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("wstart"), "role", "n")
+        )
+        rows.append(("tumble_parity", _sym_diff(got, exp)))
+
+        # X2 sliding
+        got = _drain(face.sliding_counts(stream()), tmp, "complete")
+        exp = (
+            batch.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        rows.append(("slide_parity", _sym_diff(got, exp)))
+
+        # X3 session windows
+        got = _drain(face.session_counts(stream()), tmp, "complete")
+        exp = (
+            batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id")
+            .agg(F.count("*").alias("n_turns"))
+            .select("conv_id", F.col("w.start").alias("session_start"), "n_turns")
+        )
+        rows.append(("session_parity", _sym_diff(got, exp)))
+
+        # X5 stateful dedup: an at-least-once source (one input file
+        # re-appended) must yield exactly the distinct turn set.  One
+        # micro-batch: cross-batch dedup of rows BEHIND the watermark
+        # is best-effort by definition, so the deterministic contract
+        # is within-watermark dedup (same note as the pytest).
+        dup_dir = os.path.join(tmp, "in_dup")
+        base.write.mode("overwrite").parquet(dup_dir)
+        base.limit(25).write.mode("append").parquet(dup_dir)
+        got = _drain(
+            face.deduped(face.stream_transcripts(spark, dup_dir, 64)),
+            tmp,
+            "append",
+        ).select("conv_id", "turn_idx", "text")
+        exp = (
+            spark.read.parquet(dup_dir)
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx", "text")
+        )
+        rows.append(("dedup_exactly_once", _sym_diff(got, exp)))
+
+        # X6 applyInPandasWithState: final per-conversation state ==
+        # batch ground truth (update mode emits increments; the final
+        # state is the per-key max)
+        got = (
+            _drain(face.conversation_progress(stream()), tmp, "update")
+            .groupBy("conv_id")
+            .agg(
+                F.max("n_turns_seen").alias("n_turns_seen"),
+                F.max("max_turn_idx").alias("max_turn_idx"),
+            )
+        )
+        exp = batch.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns_seen"),
+            F.max("turn_idx").cast("long").alias("max_turn_idx"),
+        )
+        rows.append(("stateful_state_parity", _sym_diff(got, exp)))
+
+        # X7 foreachBatch → commit_stage: stream → tagger → committed
+        # stage tables; the union of committed micro-batches must equal
+        # the batch tagger's output AND every batch's lineage must
+        # re-validate (checksum round-trip)
+        from ner_spark.checkpoint.lineage import validate_stage
+
+        root = os.path.join(tmp, "root")
+        face.run_stream_to_mentions(
+            spark,
+            in_dir,
+            root,
+            os.path.join(tmp, "ckpt_e2e"),
+            mode="gazetteer",
+            max_files_per_trigger=2,
+        )
+        batch_dirs = sorted(
+            glob.glob(os.path.join(root, "stream_tagged", "batch=*"))
+        )
+        got = None
+        bad_commits = 0 if batch_dirs else 1
+        for d in batch_dirs:
+            part = (
+                spark.read.parquet(d).select("conv_id", "turn_idx", "text")
+            )
+            got = part if got is None else got.unionByName(part)
+            stage = os.path.relpath(d, root)
+            if not validate_stage(spark, root, stage):
+                bad_commits += 1
+        exp = batch.select("conv_id", "turn_idx", "text")
+        rows.append(
+            ("commit_exactly_once", _sym_diff(got, exp) + bad_commits)
+        )
+        return rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_CONTRACTS = [
+    "tumble_parity",
+    "slide_parity",
+    "session_parity",
+    "dedup_exactly_once",
+    "stateful_state_parity",
+    "commit_exactly_once",
+]
+
+_STREAM_CONTRACTS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS contract, CAST(0 AS BIGINT) AS violations"
+    for c in _STREAM_CONTRACTS
+)
+
+
+@register("stream_contracts", oracle=_STREAM_CONTRACTS_SQL)
+def stream_contracts(spark, sf_dir):
+    """Externally-scored Structured Streaming contracts (X1–X7): each
+    row is a stream-vs-batch violation count the oracle pins to zero.
+    See the module docstring for the scenario behind each row."""
+    return spark.createDataFrame(
+        streaming_contract_rows(spark), "contract string, violations long"
+    )

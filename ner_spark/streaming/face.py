@@ -108,7 +108,6 @@ def conversation_progress(stream: DataFrame) -> DataFrame:
 
 
 def stream_mentions_foreach_batch(
-    stream: DataFrame,
     root: str,
     mode: str = "gazetteer",
 ) -> Callable:
@@ -145,7 +144,7 @@ def run_stream_to_mentions(
     )
     q = (
         stream.writeStream.foreachBatch(
-            stream_mentions_foreach_batch(stream, root, mode)
+            stream_mentions_foreach_batch(root, mode)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -155,3 +155,12 @@ def test_duplicate_input_rows_dedup(spark, root):
     dup = t.unionByName(t.limit(40))
     got = _triples_pdf(run_resumable(spark, dup, root, mode="gazetteer"))
     pd.testing.assert_frame_equal(gold, got)
+
+
+def test_resume_contract_probe_reports_zero_violations(spark):
+    """The kg_contracts ``lineage_resume`` row comes from this probe:
+    commit → corrupt → detect → resume → revalidate must behave end to
+    end (0 failed expectations)."""
+    from ner_spark.checkpoint.lineage import resume_contract_violations
+
+    assert resume_contract_violations(spark) == 0

@@ -64,11 +64,17 @@ def _brute(planted) -> set[tuple[int, int]]:
     return out
 
 
-def test_ivf_recall_on_planted_clusters(spark, planted):
+@pytest.mark.parametrize("train_cap", [10**6, 100])
+def test_ivf_recall_on_planted_clusters(spark, planted, train_cap):
+    """train_cap=100 also exercises the deterministic training sample
+    (corpus is ~315 rows, so Lloyd sees ~a third of it) — centroid
+    quality must survive subsampling, which is the 10⁹-vector story."""
     truth = _brute(planted)
     got = {
         (int(r["qid"]), int(r["nid"]))
-        for r in ann_ivf(planted, k=N_CLUSTERS, nprobe=2).collect()
+        for r in ann_ivf(
+            planted, k=N_CLUSTERS, nprobe=2, train_cap=train_cap
+        ).collect()
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, (recall, sorted(truth - got))
