@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ner_spark.io.read import table
 from ner_spark.ops import register
+from ner_spark.ops.probes import probes, union_tagged, wrap
 
 N_QUERY = 5  # vec_id < 5 are query vectors; the rest are the corpus
 
@@ -442,35 +443,69 @@ def sim_ivf(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embcos",
-    oracle="""
-    WITH p AS (
-      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-    ), r AS (
-      SELECT label, vec_a, vec_b, cos,
-             row_number() OVER (
-               PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rk
-      FROM p
-    )
-    SELECT label, vec_a, vec_b, round(cos, 6) AS cos FROM r WHERE rk = 1
-    """,
-)
-def dedup_embcos(spark, sf_dir):
-    """Embedding-cosine near-dup: most-similar pair within each label
-    block.  Blocked self-join (label carries the shuffle) + per-block
-    argmax window — the shape of semantic dedup over a clustered
-    corpus.
+def embcos_candidates_bucketed(
+    e: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Bucketed embedding-cosine near-dup candidates — the 100 TB
+    scale path the exact all-pairs operator reserves for small blocks:
+    hyperplane-bucket every vector once (one shuffle on the signature),
+    score pairs only inside a bucket, keep cos ≥ ``threshold``.
 
-    Scale guard: this is the EXACT baseline — all-pairs within a
-    block, O(|block|²).  It is the oracle twin for the bucketed path;
-    at 100 TB run ``sim_lsh``-style hyperplane bucketing first (each
-    vector scores only its own bucket) and reserve this operator for
-    blocks the cluster-cardinality stats bound under ~10⁵ vectors."""
+    Boundary robustness: the LEFT side of the self-join fans out to
+    its own bucket plus the ``n_bits`` hamming-1 neighbors (multiprobe
+    for pairs), so any pair whose signatures differ in ≤ 1 bit is
+    scored.  Each qualifying unordered pair matches EXACTLY once —
+    ``sig_a == sig_b`` hits only the un-flipped probe, and
+    ``hamming(a, b) = 1`` hits only the one flipped bit — so no
+    distinct/dedup pass is needed.  Scanned fraction ≈
+    (n_bits+1)·2^-n_bits of the all-pairs work; candidates are a
+    SUBSET of the exact cos ≥ threshold pair set by construction
+    (same cosine expression, same filter), so the contract below only
+    has to check recall."""
+    if n_bits is None:
+        n_bits = adaptive_bits(_cached_count(e, cache_key))
+    sig = e.select(
+        "vec_id",
+        _dbl("embedding").alias("v"),
+        hyperplane_signature(_dbl("embedding"), n_bits).alias("sig"),
+    )
+    fanout = F.array(
+        F.col("sig"),
+        *[
+            F.col("sig").bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(n_bits)
+        ],
+    )
+    left = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.explode(fanout).alias("bucket"),
+    )
+    right = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("sig").alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _embcos_top_pair(spark, sf_dir) -> DataFrame:
+    """Exact branch: most-similar pair within each label block.
+    Blocked self-join (label carries the shuffle) + per-block argmax
+    window — the shape of semantic dedup over a clustered corpus.
+    This is the EXACT baseline — all-pairs within a block,
+    O(|block|²); reserve it for blocks bounded under ~10⁵ vectors and
+    run ``embcos_candidates_bucketed`` everywhere else."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("v")
     )
@@ -493,4 +528,99 @@ def dedup_embcos(spark, sf_dir):
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("label", "vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+EMBCOS_THRESHOLD = 0.9  # near-dup cosine bound on the planted frame
+
+
+def _embcos_scale_contract(spark, sf_dir) -> DataFrame:
+    """Scale-path branch (A3 pattern): run the REAL bucketed operator
+    over the planted clustered frame and emit (n_truth, recall_ok).
+    n_truth is computed from actual cosines (exact all-pairs ≥ 0.9)
+    but the ORACLE predicts it as the same-cluster pair count
+    Σ c·(c−1)/2 over vec_id % P_CLUSTERS — pure SQL over the
+    embeddings view — so a single hash-match simultaneously proves the
+    planted within/cross separation (within ≥ 0.992, cross ≤ 0.544
+    measured) AND pins the truth set the recall is measured against.
+    Candidates ⊆ truth by construction (same cosine + threshold), so
+    recall is the whole contract."""
+    e = table(spark, sf_dir, "embeddings")
+    p = planted_embeddings(e)
+    pv = p.select("vec_id", _dbl("embedding").alias("v"))
+    a, b = pv.alias("a"), pv.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBCOS_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    cand = embcos_candidates_bucketed(
+        p, threshold=EMBCOS_THRESHOLD, n_bits=4
+    ).select("vec_a", "vec_b")
+    n_hit = truth.join(cand, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    return n_truth.crossJoin(n_hit).select(
+        "n_truth",
+        (F.col("n_hit") >= 0.95 * F.col("n_truth")).alias("recall_ok"),
+    )
+
+
+_EMBCOS_TOP_PAIR_SQL = """
+    WITH p AS (
+      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), r AS (
+      SELECT label, vec_a, vec_b, cos,
+             row_number() OVER (
+               PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rk
+      FROM p
+    )
+    SELECT label, vec_a, vec_b, round(cos, 6) AS cos FROM r WHERE rk = 1
+"""
+
+_EMBCOS_SCALE_SQL = f"""
+    SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM (SELECT count(*) AS c FROM embeddings
+          GROUP BY vec_id % {P_CLUSTERS})
+"""
+
+_EMBCOS_SQL = probes(
+    wrap(
+        "top_pair",
+        ["label", "vec_a", "vec_b", "cos"],
+        _EMBCOS_TOP_PAIR_SQL,
+        {"cos": 6},
+    ),
+    wrap("scale", ["n_truth", "recall_ok"], _EMBCOS_SCALE_SQL),
+)
+
+
+@register("dedup_embcos", oracle=_EMBCOS_SQL)
+def dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-dup, composite (both branches externally
+    scored every round):
+
+    - ``top_pair``: the exact within-label argmax — all-pairs inside a
+      label block, DuckDB-replayed verbatim;
+    - ``scale``: the bucketed 100 TB path (hyperplane buckets +
+      hamming-1 pair multiprobe, ``embcos_candidates_bucketed``) run
+      over the planted clustered frame, its recall vs the exact
+      cos ≥ 0.9 pair set pinned ≥ 0.95 and the truth-set size pinned
+      to the SQL-predicted same-cluster pair count."""
+    return union_tagged(
+        [
+            ("top_pair", _embcos_top_pair(spark, sf_dir), {"cos": 6}),
+            ("scale", _embcos_scale_contract(spark, sf_dir), None),
+        ]
     )

@@ -44,6 +44,7 @@ COMPOSITES = [
     "dedup_simhash",
     "sim_lsh",
     "sim_ivf",
+    "dedup_embcos",
 ]
 
 

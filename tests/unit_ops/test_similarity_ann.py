@@ -141,3 +141,33 @@ def test_lsh_multiprobe_dominates_single_probe(spark, planted):
     # probes, so the hard bound stays 0.8; the sim_lsh contract's own
     # planted frame measures 1.0 (vs 0.87 single-probe)
     assert r_multi >= 0.8, (r_multi, sorted(truth - multi))
+
+
+def test_embcos_bucketed_candidates_contract(spark, planted):
+    """The dedup_embcos 'scale' branch operator: candidates must be a
+    SUBSET of the exact cos >= 0.9 pair set (same cosine, same
+    threshold), recall >= 0.95 on planted clusters, and every
+    qualifying pair emitted EXACTLY once (the hamming-0/1 probe-match
+    argument in the docstring -- a duplicate would double-count dedup
+    work at 100 TB)."""
+    import itertools
+
+    from ner_spark.ops.similarity import embcos_candidates_bucketed
+
+    pdf = planted.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding) for r in pdf.itertuples()}
+    truth = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = float(
+            np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+        if cos >= 0.9:
+            truth.add((a, b))
+    rows = embcos_candidates_bucketed(planted, threshold=0.9, n_bits=4).collect()
+    got = [(int(r["vec_a"]), int(r["vec_b"])) for r in rows]
+    assert len(got) == len(set(got)), "duplicate candidate pairs"
+    got_set = set(got)
+    assert got_set <= truth, sorted(got_set - truth)[:5]
+    recall = len(got_set & truth) / len(truth)
+    assert recall >= 0.95, (recall, len(truth))
