@@ -84,6 +84,16 @@ def streaming_contract_rows(spark: SparkSession) -> list[tuple[str, int]]:
     from ner_spark.streaming import face
 
     tmp = tempfile.mkdtemp(prefix="ner_spark_streamc_")
+    # A stateful streaming aggregate materializes ONE STATE STORE PER
+    # SHUFFLE PARTITION PER MICRO-BATCH (checkpoint delta files
+    # included); at the session default (32) the six ~220-turn
+    # contract streams spend their wall clock on state-store churn,
+    # not data (measured 135 s → 34 s at 4 partitions).  Pin a small
+    # count for the duration and restore the caller's value — the
+    # parity contracts are partition-count-independent by
+    # construction, which is exactly what they verify.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         base = transcripts_df(spark, _N_CONVS)
         in_dir = os.path.join(tmp, "in")
@@ -194,6 +204,7 @@ def streaming_contract_rows(spark: SparkSession) -> list[tuple[str, int]]:
         )
         return rows
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
