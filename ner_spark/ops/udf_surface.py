@@ -75,11 +75,22 @@ def _order_profile(pdf: pd.DataFrame) -> pd.DataFrame:
 def udf_grouped_map(spark, sf_dir):
     """U3: groupBy().applyInPandas — groups must fit in memory; at
     scale, guard group size upstream (the whale-conversation salting
-    exists exactly because of this constraint)."""
+    exists exactly because of this constraint).
+
+    The exchange width is pinned with an explicit repartition on the
+    grouping key: AQE coalesces shuffles by BYTE size, but a
+    grouped-map stage's cost is per GROUP (python/pandas dispatch per
+    group), which byte stats can't see — left to AQE, this small-bytes
+    many-groups shuffle collapses to ONE task running every group
+    sequentially (measured 65 s vs 6 s at sf0.01).  Hash-partitioning
+    on the key satisfies FlatMapGroupsInPandas' required distribution,
+    so the explicit exchange replaces the implicit one rather than
+    adding a second."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
-    return li.groupBy("l_orderkey").applyInPandas(
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return li.repartition(n_parts, "l_orderkey").groupBy("l_orderkey").applyInPandas(
         _order_profile, "l_orderkey long, n_lines long, max_step double"
     )
 

@@ -164,3 +164,22 @@ def test_pivot_no_distinct_value_job(spark):
     opt = _optimized(agg_pivot(spark, SF_ORACLE))
     assert "pivotfirst" in opt, opt[:2000]
     assert opt.count("Aggregate [") == 2, opt[:2000]
+
+
+def test_grouped_map_exchange_width_pinned(spark):
+    """U3: the applyInPandas exchange must be an explicit
+    hash-repartition on the grouping key, NOT an AQE-coalescible
+    shuffle — AQE sizes by bytes, but grouped-map cost is per group,
+    and the byte heuristic collapses this small-bytes many-groups
+    stage to one task running all ~15k groups sequentially (measured
+    65 s vs ~6 s at sf0.01).  The explicit partitioning satisfies
+    FlatMapGroupsInPandas' required distribution, so exactly one
+    exchange appears, with the pinned partition count."""
+    df = QUERIES["udf_grouped_map"](spark, SF_ORACLE)
+    plan = _plan(df)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert re.search(
+        rf"hashpartitioning\(l_orderkey[^)]*, {n_parts}\), REPARTITION_BY_NUM",
+        plan,
+    ), plan[:2000]
