@@ -113,22 +113,6 @@ def hyperplane_signature(vec_col, n_bits: int = 12):
     return sig
 
 
-# Corpus-size cache for adaptive bucket sizing: the count is one cheap
-# job paid once per (context, table), not per ann_lsh() call — building
-# the DataFrame stays lazy on every later invocation (catalog-wide
-# build loops in tests/tools were paying a Spark job per call).
-_COUNT_CACHE: dict[tuple[str, str], int] = {}
-
-
-def _cached_count(e: DataFrame, cache_key: str | None) -> int:
-    if cache_key is None:
-        return e.count()
-    key = (e.sparkSession.sparkContext.applicationId, cache_key)
-    if key not in _COUNT_CACHE:
-        _COUNT_CACHE[key] = e.count()
-    return _COUNT_CACHE[key]
-
-
 def adaptive_bits(n: int) -> int:
     """~64 vectors per bucket at any corpus size, clamped to [4, 24]."""
     import math
@@ -139,7 +123,6 @@ def adaptive_bits(n: int) -> int:
 def ann_lsh(
     e: DataFrame,
     n_bits: int | None = None,
-    cache_key: str | None = None,
     multiprobe: bool = False,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH over an embeddings-shaped frame
@@ -152,9 +135,9 @@ def ann_lsh(
     [4, 24] — ~64 vectors per bucket whether the corpus is 500 rows
     (16 buckets) or 10⁹ (2²⁴).  A fixed bucket count can't serve both:
     round 2's hardcoded 12 bits put 4096 buckets under 500 vectors and
-    queries probed near-empty cells.  The sizing count is one cheap
-    job, cached per (context, ``cache_key``) so repeated index builds
-    over the same table stay lazy (pass ``n_bits`` to skip it).
+    queries probed near-empty cells.  The sizing count is one eager
+    Spark job at build time — pass ``n_bits`` explicitly (as every
+    registered query does) to keep construction fully lazy.
 
     ``multiprobe=True``: each query also probes the ``n_bits`` buckets
     at hamming distance 1 from its own (standard multiprobe LSH) —
@@ -164,7 +147,7 @@ def ann_lsh(
     once, and each (query, corpus) pair still scores at most once (a
     corpus vector lives in exactly one bucket)."""
     if n_bits is None:
-        n_bits = adaptive_bits(_cached_count(e, cache_key))
+        n_bits = adaptive_bits(e.count())
     with_sig = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
@@ -282,7 +265,7 @@ def sim_lsh(spark, sf_dir):
     hyperplane — measured 1.0 vs 0.87 single-probe here).  n_truth =
     3·N_QUERY also proves brute force returned a full top-3 per query.
     The production-shaped adaptive-bucket path over the raw table
-    stays available as ``ann_lsh(table, cache_key=...)`` (pytest +
+    stays available as ``ann_lsh(table)`` (pytest +
     plan audit)."""
     return _ann_recall_contract(
         spark, sf_dir, lambda p: ann_lsh(p, n_bits=4, multiprobe=True), 0.8
@@ -319,7 +302,7 @@ def ivf_centroids(
 
     At 10⁹+ vectors the quantizer does NOT need the whole corpus:
     training runs on a deterministic xxhash64 sample of ≤ ``train_cap``
-    rows (``pmod(xxhash64('ivf-sample', nid), 2³²) < threshold`` — a
+    rows (``pmod(xxhash64('ivf-sample', nid), 2³⁰) < threshold`` — a
     pure row function, stable under any partitioning; k-means centroid
     quality converges at O(√n) samples, so 10⁶ is generous for k ≤
     4096 cells).  Small corpora pass the filter untouched — the
@@ -447,7 +430,6 @@ def embcos_candidates_bucketed(
     e: DataFrame,
     threshold: float = 0.9,
     n_bits: int | None = None,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """Bucketed embedding-cosine near-dup candidates — the 100 TB
     scale path the exact all-pairs operator reserves for small blocks:
@@ -466,7 +448,7 @@ def embcos_candidates_bucketed(
     (same cosine expression, same filter), so the contract below only
     has to check recall."""
     if n_bits is None:
-        n_bits = adaptive_bits(_cached_count(e, cache_key))
+        n_bits = adaptive_bits(e.count())
     sig = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),

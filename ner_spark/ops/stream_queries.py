@@ -31,15 +31,21 @@ from ner_spark.ops import register
 
 _N_CONVS = 40  # fixture conversations (~220 turns, 4 input files)
 _SEQ = 0
+_OPEN_SINKS: list[str] = []  # memory-sink tables awaiting drop
 
 
 def _drain(stream_df: DataFrame, ckpt_root: str, mode: str) -> DataFrame:
     """Run an availableNow stream into a uniquely-named memory sink
     and return the sink table (unique name: a long driver session may
-    invoke this query many times)."""
+    invoke this query many times).  Each sink holds a full aggregate
+    result in driver memory, so streaming_contract_rows drops every
+    registered sink once its diff is computed — without that, repeated
+    invocations (gate + best-of-N bench passes) would accumulate them
+    in the session catalog for the driver's whole lifetime."""
     global _SEQ
     _SEQ += 1
     name = f"stream_contract_{os.getpid()}_{_SEQ}"
+    _OPEN_SINKS.append(name)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -199,12 +205,15 @@ def streaming_contract_rows(spark: SparkSession) -> list[tuple[str, int]]:
             if not validate_stage(spark, root, stage):
                 bad_commits += 1
         exp = batch.select("conv_id", "turn_idx", "text")
-        rows.append(
-            ("commit_exactly_once", _sym_diff(got, exp) + bad_commits)
-        )
+        # no committed batches at all ⇒ every expected row is missing
+        # (report the violation instead of crashing on got=None)
+        diff = _sym_diff(got, exp) if got is not None else int(exp.count())
+        rows.append(("commit_exactly_once", diff + bad_commits))
         return rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        while _OPEN_SINKS:
+            spark.catalog.dropTempView(_OPEN_SINKS.pop())
         shutil.rmtree(tmp, ignore_errors=True)
 
 
