@@ -15,11 +15,24 @@ from ner_spark.kg.cc import connected_components
 from ner_spark.kg.linking import match_edges, surface_nodes
 
 
-def entity_assignments(mentions: DataFrame) -> DataFrame:
+def entity_assignments(
+    mentions: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
     """(surface, label, node_id, entity_id): every distinct surface
     form mapped to its canonical entity via linking + CC.  Surfaces
-    with no match edge stay their own entity."""
-    nodes = surface_nodes(mentions)
+    with no match edge stay their own entity.
+
+    ``nodes`` (optional): a pre-built — ideally PERSISTED — surface
+    vocabulary.  The linking plan references the vocabulary several
+    times (signature docs + both sides of the pair rejoin + the final
+    component join), and CC's branch decision adds its own action; an
+    unpersisted vocabulary re-executes the mentions→groupBy subtree
+    for every one of those.  The vocabulary is orders of magnitude
+    smaller than the mention stream (the module-header scale
+    decision), so callers that run several actions should pass a
+    persisted frame (ops/kg_queries does, via its stage cache)."""
+    if nodes is None:
+        nodes = surface_nodes(mentions)
     edges = match_edges(nodes).select(
         F.col("node_a").alias("src"), F.col("node_b").alias("dst")
     )

@@ -60,12 +60,14 @@ def _evict_other_keys(key) -> None:
     executor storage is bounded regardless of how many (app, sf_dir)
     combinations a long session touches."""
     for k in [k for k in _STAGES if k != key]:
-        tagged = _STAGES.pop(k).get("tagged_turns")
-        if tagged is not None:
-            try:
-                tagged.unpersist()
-            except Exception:
-                pass  # context already stopped — nothing to release
+        st = _STAGES.pop(k)
+        for persisted_key in ("tagged_turns", "nodes", "assignments"):
+            df = st.get(persisted_key)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # context already stopped — nothing to release
 
 
 def _stages(spark, sf_dir, materialize: bool = False) -> dict:
@@ -115,13 +117,28 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
         st_view = st
     if materialize:
         if "entities" not in st:
+            from pyspark import StorageLevel
+
+            from ner_spark.kg.linking import surface_nodes
             from ner_spark.kg.materialize import (
                 build_edges,
                 build_entities,
                 entity_assignments,
             )
 
-            assignments = entity_assignments(st_view["mentions"])
+            # The surface vocabulary and the assignment map are both
+            # vocabulary-scale (orders of magnitude below the mention
+            # stream at any corpus size) and are referenced by several
+            # actions each — persist both so linking + CC execute once
+            # per session instead of once per downstream action
+            # (unpersisted in _evict_other_keys / reset_stage_cache).
+            nodes = surface_nodes(st_view["mentions"]).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            st["nodes"] = nodes
+            assignments = entity_assignments(
+                st_view["mentions"], nodes=nodes
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             st["assignments"] = assignments
             st["entities"] = build_entities(st_view["mentions"], assignments)
             st["edges"] = build_edges(st_view["triples"], assignments)
