@@ -119,23 +119,20 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
         if "entities" not in st:
             from pyspark import StorageLevel
 
-            from ner_spark.kg.linking import surface_nodes
             from ner_spark.kg.materialize import (
                 build_edges,
                 build_entities,
                 entity_assignments,
             )
 
-            # The surface vocabulary and the assignment map are both
-            # vocabulary-scale (orders of magnitude below the mention
-            # stream at any corpus size) and are referenced by several
-            # actions each — persist both so linking + CC execute once
-            # per session instead of once per downstream action
-            # (unpersisted in _evict_other_keys / reset_stage_cache).
-            nodes = surface_nodes(st_view["mentions"]).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            st["nodes"] = nodes
+            # The assignment map is vocabulary-scale (orders of
+            # magnitude below the mention stream at any corpus size)
+            # and is referenced by several actions — persist it (and
+            # the vocabulary, via _cached_nodes) so linking + CC
+            # execute once per session instead of once per downstream
+            # action (unpersisted in _evict_other_keys /
+            # reset_stage_cache).
+            nodes = _cached_nodes(spark, sf_dir, st, st_view)
             assignments = entity_assignments(
                 st_view["mentions"], nodes=nodes
             ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -147,6 +144,33 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
             **{k: st[k] for k in ("assignments", "entities", "edges")},
         }
     return st_view
+
+
+def _cached_nodes(spark, sf_dir, st=None, st_view=None):
+    """Get-or-create the PERSISTED surface vocabulary for this
+    (session, sf_dir) stage family.  Every linking/CC consumer
+    (kg_match_edges, kg_cc_components, kg_entities/kg_edges via the
+    materialize branch) shares one persisted frame, so the
+    mentions→groupBy vocabulary subtree executes once per session no
+    matter how many of them run — the vocabulary is tiny relative to
+    the mention stream at any corpus size.  Unpersisted via
+    _evict_other_keys / reset_stage_cache like every cached stage."""
+    from pyspark import StorageLevel
+
+    from ner_spark.kg.linking import surface_nodes
+
+    if st_view is None:
+        st_view = _stages(spark, sf_dir)
+    if st is None:
+        st = _STAGES.get((spark.sparkContext.applicationId, sf_dir))
+    if st is not None and "nodes" in st:
+        return st["nodes"]
+    nodes = surface_nodes(st_view["mentions"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if st is not None:
+        st["nodes"] = nodes
+    return nodes
 
 
 @register("kg_mentions")  # ⊘
@@ -191,11 +215,11 @@ def kg_triples(spark, sf_dir):
 @register("kg_match_edges")  # ⊘
 def kg_match_edges(spark, sf_dir):
     """Stages 7–8: MinHash-LSH blocking + JVM pairwise scoring over
-    the distinct surface vocabulary."""
-    from ner_spark.kg.linking import match_edges, surface_nodes
+    the distinct surface vocabulary (shared persisted frame —
+    _cached_nodes)."""
+    from ner_spark.kg.linking import match_edges
 
-    nodes = surface_nodes(_stages(spark, sf_dir)["mentions"])
-    return match_edges(nodes)
+    return match_edges(_cached_nodes(spark, sf_dir))
 
 
 @register("kg_cc_components")  # ⊘
@@ -204,10 +228,9 @@ def kg_cc_components(spark, sf_dir):
     (driver union-find below the edge threshold, alternating
     large-star/small-star above it)."""
     from ner_spark.kg.cc import connected_components
-    from ner_spark.kg.linking import match_edges, surface_nodes
+    from ner_spark.kg.linking import match_edges
 
-    nodes = surface_nodes(_stages(spark, sf_dir)["mentions"])
-    edges = match_edges(nodes).select(
+    edges = match_edges(_cached_nodes(spark, sf_dir)).select(
         F.col("node_a").alias("src"), F.col("node_b").alias("dst")
     )
     return connected_components(edges)
