@@ -48,3 +48,20 @@ def test_cache_is_single_entry_across_sf_dirs(spark):
         (spark.sparkContext.applicationId, SF_ORACLE)
     ]
     KQ._evict_other_keys(None)
+
+
+def test_vocabulary_and_assignments_persisted_and_evicted(spark):
+    """The surface vocabulary and assignment map are persisted once
+    per stage family, shared by every linking/CC consumer, and
+    unpersisted on eviction (bounded executor storage)."""
+    KQ = _fresh(spark)
+    key = (spark.sparkContext.applicationId, SF_SMALL)
+    KQ._stages(spark, SF_SMALL, materialize=True)
+    st = KQ._STAGES[key]
+    assert st["nodes"].storageLevel.useMemory
+    assert st["assignments"].storageLevel.useMemory
+    assert KQ._cached_nodes(spark, SF_SMALL) is st["nodes"]
+    nodes, assigns = st["nodes"], st["assignments"]
+    KQ._evict_other_keys(None)
+    assert not nodes.storageLevel.useMemory
+    assert not assigns.storageLevel.useMemory
