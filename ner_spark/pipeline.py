@@ -53,13 +53,24 @@ def run_pipeline(
     triples = extract_triples(tagged)
     out = {"tagged_turns": tagged, "mentions": mentions, "triples": triples}
     if materialize:
+        from pyspark import StorageLevel
+
+        from ner_spark.kg.linking import surface_nodes
         from ner_spark.kg.materialize import (
             build_edges,
             build_entities,
             entity_assignments,
         )
 
-        assignments = entity_assignments(mentions)
+        # Vocabulary-scale frames referenced by several linking/CC/
+        # materialize actions — persist both so the linking pipeline
+        # executes once (same policy as ops/kg_queries' stage cache;
+        # callers own the returned frames' unpersist).
+        nodes = surface_nodes(mentions).persist(StorageLevel.MEMORY_AND_DISK)
+        out["nodes"] = nodes
+        assignments = entity_assignments(mentions, nodes=nodes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         out["assignments"] = assignments
         out["entities"] = build_entities(mentions, assignments)
         out["edges"] = build_edges(triples, assignments)
