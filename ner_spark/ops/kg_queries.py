@@ -254,6 +254,7 @@ _KG_CONTRACTS = [
     "byte_exact",
     "mention_orphans",
     "mention_id_unique",
+    "span_disjoint",
     "bio_bmes_parity",
     "triple_refs",
     "lineage_resume",
@@ -279,6 +280,9 @@ def kg_contracts(spark, sf_dir):
     - ``mention_orphans``: every mention joins back to a transcript
       turn;
     - ``mention_id_unique``: xxhash64 mention ids don't collide;
+    - ``span_disjoint``: mentions within one turn never overlap (the
+      BIO/BMES decoders guarantee this by construction — the contract
+      makes a decoder regression externally visible);
     - ``bio_bmes_parity``: the BIO-trained and BMES-trained model
       paths emit identical span sets (multiset symmetric difference);
     - ``triple_refs``: every triple's subj/obj mention id exists in
@@ -318,6 +322,20 @@ def kg_contracts(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1),
     )
+    ma = mentions.select("conv_id", "turn_idx", "start", "end", "mention_id")
+    mb = (
+        ma.withColumnRenamed("start", "b_start")
+        .withColumnRenamed("end", "b_end")
+        .withColumnRenamed("mention_id", "b_mention_id")
+    )
+    disjoint = cnt(
+        "span_disjoint",
+        ma.join(mb, ["conv_id", "turn_idx"]).filter(
+            (F.col("mention_id") < F.col("b_mention_id"))
+            & (F.col("start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("end"))
+        ),
+    )
     span_cols = ["conv_id", "turn_idx", "start", "end", "label"]
     bio = mentions.select(*span_cols)
     bmes = tag_mentions(
@@ -342,6 +360,6 @@ def kg_contracts(spark, sf_dir):
         "contract string, violations long",
     )
     out = byte_exact
-    for part in (orphans, dup_ids, parity, triple_refs, lineage):
+    for part in (orphans, dup_ids, disjoint, parity, triple_refs, lineage):
         out = out.unionByName(part)
     return out
