@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ner_spark.io.read import table
 from ner_spark.ops import register
+from ner_spark.ops.probes import probes, union_tagged, wrap
 
 # Marker-substring profiles for the n-gram language-ID heuristic.
 # Counts of these substrings per language are summed into a score;
@@ -185,19 +186,12 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS fp,
-           count(*) AS n_copies,
-           CAST(min(doc_id) AS BIGINT) AS keeper
-    FROM documents GROUP BY fp
-    """,
-)
-def dedup_exact(spark, sf_dir):
+def exact_dedup_groups(spark, sf_dir) -> DataFrame:
     """Exact dedup: hash-groupBy on content fingerprint; keeper =
     min doc_id (deterministic).  At 100 TB this is one shuffle on a
-    64-hex key with map-side partial counts."""
+    64-hex key with map-side partial counts.  (``bench.py`` times
+    THIS raw operator; the catalog's ``dedup_exact`` composite adds
+    the cluster-keep branch.)"""
     d = table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5(F.col("text")).alias("fp"))
@@ -205,6 +199,112 @@ def dedup_exact(spark, sf_dir):
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("keeper"),
         )
+    )
+
+
+def dedup_keep_clusters(spark, sf_dir, thresh: float = 0.35) -> DataFrame:
+    """Near-dup cluster CANONICALIZATION — the step a real pipeline
+    runs after candidate generation: connected components over the
+    exact 5-gram jaccard ≥ ``thresh`` pair graph, keeper = min doc_id
+    in the cluster (which IS the component id, since CC emits min
+    reachable node), keep ⇔ the doc is its cluster's keeper.  Output
+    covers the docs that appear in the pair graph; docs with no
+    near-dup trivially keep themselves and are omitted.  At 100 TB
+    this reuses the engine's large-star/small-star CC over
+    similarity edges — the same operator that canonicalizes KG
+    entities."""
+    from ner_spark.kg.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(table(spark, sf_dir, "documents"), thresh)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_keeper"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
+_EXACT_GROUPS_SQL = """
+    SELECT md5(text) AS fp,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM documents GROUP BY fp
+"""
+
+# Shared CTE chain of the exact 5-gram jaccard pair graph (the DuckDB
+# twin of ngram_jaccard_pairs) — consumed by dedup_ngram's pair oracle
+# and dedup_exact's cluster-keep oracle.
+_NGRAM_PAIR_CTES = """
+    pos AS (
+      SELECT doc_id, lang, source, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents WHERE length(text) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, source,
+             substring(text, CAST(i AS INT), 5) AS shingle
+      FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), jp AS (
+      SELECT doc_a, doc_b,
+             n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jacc
+      FROM prs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+_CLUSTER_KEEP_SQL = f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    pe AS (SELECT doc_a AS src, doc_b AS dst FROM jp WHERE jacc >= 0.35),
+    e AS (SELECT src, dst FROM pe UNION SELECT dst, src FROM pe),
+    walk(node, reach) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN e ON e.src = w.reach
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(reach) AS BIGINT) AS cluster_keeper,
+           (node = min(reach)) AS keep
+    FROM walk GROUP BY node
+"""
+
+_DEDUP_EXACT_SQL = probes(
+    wrap("exact", ["fp", "n_copies", "keeper"], _EXACT_GROUPS_SQL),
+    wrap(
+        "cluster_keep",
+        ["doc_id", "cluster_keeper", "keep"],
+        _CLUSTER_KEEP_SQL,
+    ),
+)
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_SQL)
+def dedup_exact(spark, sf_dir):
+    """Dedup materialization, composite (both branches externally
+    scored):
+
+    - ``exact``: hash-groupBy exact-duplicate groups with a
+      deterministic keeper (``exact_dedup_groups`` — the raw operator
+      `bench.py` times);
+    - ``cluster_keep``: keep-one-per-cluster canonicalization of the
+      near-dup graph — distributed CC over the exact jaccard ≥ 0.35
+      pair set, replayed by a DuckDB recursive-CTE closure
+      (``dedup_keep_clusters``)."""
+    return union_tagged(
+        [
+            ("exact", exact_dedup_groups(spark, sf_dir), None),
+            ("cluster_keep", dedup_keep_clusters(spark, sf_dir), None),
+        ]
     )
 
 
