@@ -303,39 +303,10 @@ def kg_contracts(spark, sf_dir):
             F.lit(name).alias("contract"), "violations"
         )
 
-    sub = F.col("text").substr(
-        F.col("start") + 1, F.col("end") - F.col("start")
-    )
-    byte_exact = cnt(
-        "byte_exact",
-        mentions.join(txt, ["conv_id", "turn_idx"]).filter(
-            ~F.coalesce(sub == F.col("surface"), F.lit(False))
-        ),
-    )
-    orphans = cnt(
-        "mention_orphans",
-        mentions.join(txt, ["conv_id", "turn_idx"], "left_anti"),
-    )
-    dup_ids = cnt(
-        "mention_id_unique",
-        mentions.groupBy("mention_id")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1),
-    )
-    ma = mentions.select("conv_id", "turn_idx", "start", "end", "mention_id")
-    mb = (
-        ma.withColumnRenamed("start", "b_start")
-        .withColumnRenamed("end", "b_end")
-        .withColumnRenamed("mention_id", "b_mention_id")
-    )
-    disjoint = cnt(
-        "span_disjoint",
-        ma.join(mb, ["conv_id", "turn_idx"]).filter(
-            (F.col("mention_id") < F.col("b_mention_id"))
-            & (F.col("start") < F.col("b_end"))
-            & (F.col("b_start") < F.col("end"))
-        ),
-    )
+    byte_exact = cnt("byte_exact", byte_exact_violations(mentions, txt))
+    orphans = cnt("mention_orphans", orphan_violations(mentions, txt))
+    dup_ids = cnt("mention_id_unique", duplicate_id_violations(mentions))
+    disjoint = cnt("span_disjoint", span_overlap_violations(mentions))
     span_cols = ["conv_id", "turn_idx", "start", "end", "label"]
     bio = mentions.select(*span_cols)
     bmes = tag_mentions(
@@ -346,12 +317,8 @@ def kg_contracts(spark, sf_dir):
     parity = cnt(
         "bio_bmes_parity", bio.exceptAll(bmes).unionAll(bmes.exceptAll(bio))
     )
-    refs = triples.select(
-        F.col("subj_mention_id").alias("mention_id")
-    ).unionAll(triples.select(F.col("obj_mention_id").alias("mention_id")))
     triple_refs = cnt(
-        "triple_refs",
-        refs.join(mentions.select("mention_id"), "mention_id", "left_anti"),
+        "triple_refs", triple_ref_violations(triples, mentions)
     )
     from ner_spark.checkpoint.lineage import resume_contract_violations
 
@@ -363,3 +330,56 @@ def kg_contracts(spark, sf_dir):
     for part in (orphans, dup_ids, disjoint, parity, triple_refs, lineage):
         out = out.unionByName(part)
     return out
+
+
+# -- invariant plan builders (factored so tests can plant violations
+#    and prove each contract is falsifiable, not vacuously zero) --
+
+
+def byte_exact_violations(mentions, txt):
+    """Rows where ``substr(text, start+1, end-start) != surface``."""
+    sub = F.col("text").substr(
+        F.col("start") + 1, F.col("end") - F.col("start")
+    )
+    return mentions.join(txt, ["conv_id", "turn_idx"]).filter(
+        ~F.coalesce(sub == F.col("surface"), F.lit(False))
+    )
+
+
+def orphan_violations(mentions, txt):
+    """Mentions with no backing transcript turn."""
+    return mentions.join(txt, ["conv_id", "turn_idx"], "left_anti")
+
+
+def duplicate_id_violations(mentions):
+    """mention_id values appearing more than once."""
+    return (
+        mentions.groupBy("mention_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def span_overlap_violations(mentions):
+    """Same-turn mention pairs whose [start, end) ranges intersect."""
+    ma = mentions.select("conv_id", "turn_idx", "start", "end", "mention_id")
+    mb = (
+        ma.withColumnRenamed("start", "b_start")
+        .withColumnRenamed("end", "b_end")
+        .withColumnRenamed("mention_id", "b_mention_id")
+    )
+    return ma.join(mb, ["conv_id", "turn_idx"]).filter(
+        (F.col("mention_id") < F.col("b_mention_id"))
+        & (F.col("start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("end"))
+    )
+
+
+def triple_ref_violations(triples, mentions):
+    """Triple subj/obj mention ids missing from the mention table."""
+    refs = triples.select(
+        F.col("subj_mention_id").alias("mention_id")
+    ).unionAll(triples.select(F.col("obj_mention_id").alias("mention_id")))
+    return refs.join(
+        mentions.select("mention_id"), "mention_id", "left_anti"
+    )
