@@ -112,7 +112,11 @@ def run_headline() -> None:
     # cost).
     from ner_spark.ops.kg_queries import reset_stage_cache
 
-    passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "2"))
+    # 3 passes: pass 1 additionally pays JIT/codegen, so the min is
+    # effectively over two steady-state samples — measured day-long
+    # co-tenant swings of 2x on identical plans make one steady-state
+    # sample too fragile for the scoreboard.
+    passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "3"))
     timings: dict[str, float] = {}
     for p in range(passes):
         if p:
@@ -369,7 +373,7 @@ Regenerate: `python bench.py --scaling`
 Headline query timings: `python bench.py` (one JSON line).
 
 Headline-timing notes: `python bench.py` runs every headline query
-TWICE in one session and reports the per-query MIN (the kg stage
+THREE TIMES in one session and reports the per-query MIN (the kg stage
 cache is reset between passes so both passes pay full tagging) —
 steady-state plan cost, robust to co-tenant spikes and to pass-1
 JIT/whole-stage-codegen compilation, which a long-running 100 TB job
