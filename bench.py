@@ -148,7 +148,6 @@ def run_worker(cores: int) -> None:
     """One measured KG pipeline run (tag → triples → count) on a
     deterministic transcript corpus with the pinned whale conv."""
     from ner_spark.fixtures.transcripts import transcripts_df
-    from ner_spark.pipeline import run_pipeline
     from ner_spark.session import get_spark
 
     spark = get_spark(

@@ -20,7 +20,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ner_spark.fixtures.gazetteer import GAZ_BY_LABEL

@@ -6,7 +6,6 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from ner_spark.kg.cc import connected_components
 from ner_spark.kg.linking import candidate_pairs, match_edges, surface_nodes

@@ -6,7 +6,6 @@ from __future__ import annotations
 from ner_spark.fixtures.transcripts import transcripts_pdf
 from ner_spark.io.read import read_msra_corpus
 from ner_spark.ner.decode import spans_to_bio
-from ner_spark.ner.oracle import oracle_mentions
 
 
 def _render_corpus(path: str, n_convs: int = 30) -> int:

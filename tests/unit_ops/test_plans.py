@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 
 from ner_spark.fixtures.transcripts import transcripts_df
 from ner_spark.kg.cooccur import extract_triples

@@ -5,7 +5,6 @@ exact Jaccard / exact Hamming computed independently in pure python.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from ner_spark.ops.textops import (
