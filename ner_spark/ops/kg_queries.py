@@ -257,6 +257,11 @@ _KG_CONTRACTS = [
     "span_disjoint",
     "bio_bmes_parity",
     "triple_refs",
+    "cc_edges_intra",
+    "cc_component_min",
+    "entity_canonical",
+    "entity_conservation",
+    "edge_conservation",
     "lineage_resume",
 ]
 
@@ -287,13 +292,28 @@ def kg_contracts(spark, sf_dir):
       paths emit identical span sets (multiset symmetric difference);
     - ``triple_refs``: every triple's subj/obj mention id exists in
       mentions (referential integrity of the co-occurrence algebra);
+    - ``cc_edges_intra``: no match edge crosses entity boundaries —
+      both endpoints of every linking edge land in the same connected
+      component (CC correctness, necessary condition, over the REAL
+      edge/assignment frames the carriers expose);
+    - ``cc_component_min``: every entity id equals the minimum node id
+      of its members (the canonicalization determinism contract,
+      kg/cc.py module header — identical across the union-find and
+      star-loop branches);
+    - ``entity_canonical``: every entity's canonical surface is one of
+      its own member surfaces (max_by can't invent a surface);
+    - ``entity_conservation``: Σ entities.n_mentions == count(mentions)
+      — materialization neither drops nor double-counts a mention;
+    - ``edge_conservation``: Σ edges.weight == count(triples) — every
+      triple maps to exactly one entity-level edge;
     - ``lineage_resume``: the commit → corrupt → detect → resume →
       revalidate scenario behaves end-to-end in a scratch dir
       (checkpoint/lineage.resume_contract_violations).
     """
+    from ner_spark.kg.linking import match_edges
     from ner_spark.ner.tagger import tag_mentions
 
-    st = _stages(spark, sf_dir)
+    st = _stages(spark, sf_dir, materialize=True)
     mentions = st["mentions"]
     triples = st["triples"]
     txt = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
@@ -320,6 +340,19 @@ def kg_contracts(spark, sf_dir):
     triple_refs = cnt(
         "triple_refs", triple_ref_violations(triples, mentions)
     )
+    assignments = st["assignments"]
+    entities = st["entities"]
+    edges = match_edges(_cached_nodes(spark, sf_dir))
+    cc_intra = cnt(
+        "cc_edges_intra", cc_cross_edge_violations(edges, assignments)
+    )
+    cc_min = cnt("cc_component_min", component_min_violations(assignments))
+    canon = cnt(
+        "entity_canonical",
+        canonical_membership_violations(entities, assignments),
+    )
+    ent_cons = _gap("entity_conservation", entity_conservation_gap(entities, mentions))
+    edge_cons = _gap("edge_conservation", edge_conservation_gap(st["edges"], triples))
     from ner_spark.checkpoint.lineage import resume_contract_violations
 
     lineage = spark.createDataFrame(
@@ -327,7 +360,19 @@ def kg_contracts(spark, sf_dir):
         "contract string, violations long",
     )
     out = byte_exact
-    for part in (orphans, dup_ids, disjoint, parity, triple_refs, lineage):
+    for part in (
+        orphans,
+        dup_ids,
+        disjoint,
+        parity,
+        triple_refs,
+        cc_intra,
+        cc_min,
+        canon,
+        ent_cons,
+        edge_cons,
+        lineage,
+    ):
         out = out.unionByName(part)
     return out
 
@@ -382,4 +427,70 @@ def triple_ref_violations(triples, mentions):
     ).unionAll(triples.select(F.col("obj_mention_id").alias("mention_id")))
     return refs.join(
         mentions.select("mention_id"), "mention_id", "left_anti"
+    )
+
+
+def _gap(name: str, gap_df):
+    """Wrap a one-row (violations) frame with its contract name —
+    the scalar-conservation analog of ``cnt`` (which counts rows)."""
+    return gap_df.select(
+        F.lit(name).alias("contract"), F.col("violations").cast("long")
+    )
+
+
+def cc_cross_edge_violations(edges, assignments):
+    """Match edges whose endpoints were assigned different entities
+    (CC must place both endpoints of every edge in one component)."""
+    a = assignments.select(
+        F.col("node_id").alias("node_a"), F.col("entity_id").alias("ent_a")
+    )
+    b = assignments.select(
+        F.col("node_id").alias("node_b"), F.col("entity_id").alias("ent_b")
+    )
+    return (
+        edges.join(a, "node_a")
+        .join(b, "node_b")
+        .filter(F.col("ent_a") != F.col("ent_b"))
+    )
+
+
+def component_min_violations(assignments):
+    """Entities whose id is not the min node_id among their members
+    (the determinism convention: component id = min member id; a
+    singleton surface's entity id is its own node id)."""
+    return (
+        assignments.groupBy("entity_id")
+        .agg(F.min("node_id").alias("min_node"))
+        .filter(F.col("min_node") != F.col("entity_id"))
+    )
+
+
+def canonical_membership_violations(entities, assignments):
+    """Entities whose canonical_surface is not one of their member
+    surfaces (max_by over member counts can never leave the set)."""
+    member = assignments.select("entity_id", "surface")
+    return entities.select(
+        "entity_id", F.col("canonical_surface").alias("surface")
+    ).join(member, ["entity_id", "surface"], "left_anti")
+
+
+def entity_conservation_gap(entities, mentions):
+    """|Σ entities.n_mentions − count(mentions)| as a one-row frame —
+    materialization must neither drop nor double-count mentions."""
+    tot = entities.agg(
+        F.coalesce(F.sum("n_mentions"), F.lit(0)).alias("s")
+    )
+    n = mentions.agg(F.count("*").alias("n"))
+    return tot.crossJoin(n).select(
+        F.abs(F.col("s") - F.col("n")).alias("violations")
+    )
+
+
+def edge_conservation_gap(edges, triples):
+    """|Σ edges.weight − count(triples)| as a one-row frame — every
+    co-occurrence triple contributes exactly once to one entity edge."""
+    tot = edges.agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("s"))
+    n = triples.agg(F.count("*").alias("n"))
+    return tot.crossJoin(n).select(
+        F.abs(F.col("s") - F.col("n")).alias("violations")
     )

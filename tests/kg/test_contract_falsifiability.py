@@ -9,7 +9,12 @@ import pytest
 
 from ner_spark.ops.kg_queries import (
     byte_exact_violations,
+    canonical_membership_violations,
+    cc_cross_edge_violations,
+    component_min_violations,
     duplicate_id_violations,
+    edge_conservation_gap,
+    entity_conservation_gap,
     orphan_violations,
     span_overlap_violations,
     triple_ref_violations,
@@ -105,3 +110,104 @@ def test_triple_refs_catch_dangling_id(spark, clean):
         [(1, 99)], "subj_mention_id long, obj_mention_id long"
     )
     assert triple_ref_violations(triples.unionAll(dangling), mentions).count() == 1
+
+
+# --- linking / CC / materialize cross-stage invariants ---------------
+
+
+@pytest.fixture()
+def linked(spark):
+    """Two-node component {10, 20} (entity 10) + singleton 30
+    (entity 30), with matching entities/edges tables."""
+    assignments = spark.createDataFrame(
+        [
+            ("ann", "PER", 10, 3, 10),
+            ("anne", "PER", 20, 2, 10),
+            ("bob", "PER", 30, 4, 30),
+        ],
+        "surface string, label string, node_id long, n_mentions long,"
+        " entity_id long",
+    )
+    match = spark.createDataFrame([(10, 20)], "node_a long, node_b long")
+    entities = spark.createDataFrame(
+        [(10, "ann", "PER", 5), (30, "bob", "PER", 4)],
+        "entity_id long, canonical_surface string, label string,"
+        " n_mentions long",
+    )
+    return assignments, match, entities
+
+
+def test_linked_clean_frames_have_zero_violations(spark, linked):
+    assignments, match, entities = linked
+    assert cc_cross_edge_violations(match, assignments).count() == 0
+    assert component_min_violations(assignments).count() == 0
+    assert canonical_membership_violations(entities, assignments).count() == 0
+
+
+def test_cc_cross_edge_caught(spark, linked):
+    assignments, match, _ = linked
+    crossing = spark.createDataFrame(
+        [(20, 30)], "node_a long, node_b long"
+    )
+    assert (
+        cc_cross_edge_violations(match.unionAll(crossing), assignments).count()
+        == 1
+    )
+
+
+def test_component_min_caught(spark, linked):
+    assignments, _, _ = linked
+    from pyspark.sql import functions as F
+
+    # reassign the {10, 20} component to id 20 (not the min member)
+    bad = assignments.withColumn(
+        "entity_id",
+        F.when(F.col("entity_id") == 10, 20).otherwise(F.col("entity_id")),
+    )
+    assert component_min_violations(bad).count() == 1
+
+
+def test_canonical_membership_caught(spark, linked):
+    assignments, _, entities = linked
+    from pyspark.sql import functions as F
+
+    bad = entities.withColumn(
+        "canonical_surface",
+        F.when(F.col("entity_id") == 10, "annie").otherwise(
+            F.col("canonical_surface")
+        ),
+    )
+    assert canonical_membership_violations(bad, assignments).count() == 1
+
+
+def test_entity_conservation_caught(spark, linked, clean):
+    _, match, entities = linked
+    _, mentions, _ = clean  # 3 mentions
+    from pyspark.sql import functions as F
+
+    # entities claim 9 mentions vs 3 actual → gap 6
+    gaps = entity_conservation_gap(entities, mentions).collect()
+    assert gaps[0]["violations"] == 6
+    balanced = entities.withColumn(
+        "n_mentions", F.when(F.col("entity_id") == 10, 0).otherwise(F.lit(3))
+    )  # sums to exactly the 3 mentions → zero gap
+    assert (
+        entity_conservation_gap(balanced, mentions).collect()[0]["violations"]
+        == 0
+    )
+
+
+def test_edge_conservation_caught(spark):
+    edges = spark.createDataFrame(
+        [(10, 30, "met", 2)],
+        "src_entity_id long, dst_entity_id long, pred string, weight long",
+    )
+    triples = spark.createDataFrame(
+        [(1, 2)], "subj_mention_id long, obj_mention_id long"
+    )
+    assert edge_conservation_gap(edges, triples).collect()[0]["violations"] == 1
+    ok = edges.limit(0)
+    assert (
+        edge_conservation_gap(ok, triples.limit(0)).collect()[0]["violations"]
+        == 0
+    )
