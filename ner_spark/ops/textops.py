@@ -167,22 +167,134 @@ def text_langid(spark, sf_dir):
     return d.select("doc_id", pred.alias("pred_lang"))
 
 
-@register(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id, md5(text) AS fp,
-           md5(lower(trim(text))) AS fp_norm
-    FROM documents
-    """,
-)
-def text_fingerprint(spark, sf_dir):
-    """Document fingerprinting: content hash raw + normalized (the
-    exact-dedup key).  md5 hex is engine-portable."""
+def content_fingerprints(spark, sf_dir) -> DataFrame:
+    """Content hash raw + normalized (the exact-dedup key).  md5 hex
+    is engine-portable."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.md5(F.col("text")).alias("fp"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp_norm"),
+    )
+
+
+# Winnowing parameters (Schleimer, Wilkerson & Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+# literature): k-gram length and window width.  Guarantee: any shared
+# substring of length ≥ K_GRAM + WINNOW_W − 1 between two documents
+# yields at least one shared selected fingerprint.
+K_GRAM = 5
+WINNOW_W = 8
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing over a
+    (doc_id, text) frame: hash every K_GRAM-character shingle
+    (md5-derived 60-bit integer — identical arithmetic in DuckDB, so
+    the oracle replays it verbatim), slide a WINNOW_W-wide window over
+    the hash sequence, keep each window's minimum, emit the distinct
+    selected set as (doc_id, fp) rows — the classic local fingerprint
+    a plagiarism/near-dup index stores.
+
+    Scale shape: pure per-row JVM expressions (whole-stage codegen),
+    ZERO shuffles before the output — each document's fingerprint set
+    is computed independently of every other row, so the operator
+    partitions trivially at 100 TB.  Work is O(len·W) per doc from the
+    slice-min formulation; a mapInPandas monotonic-deque variant would
+    make it O(len) if W ever grows large (W=8 here: the constant is
+    the md5, not the window min)."""
+    n = F.length("text")
+
+    def kg_hash(p):
+        gram = F.col("text").substr(p, F.lit(K_GRAM))
+        return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+    with_hashes = d.select(
+        "doc_id",
+        F.when(
+            n >= K_GRAM,
+            F.transform(F.sequence(F.lit(1), n - K_GRAM + 1), kg_hash),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("hs"),
+    )
+    m = F.size("hs")
+    selected = (
+        F.when(
+            m >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - WINNOW_W + 1),
+                    lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
+                )
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return with_hashes.select("doc_id", F.explode(selected).alias("fp"))
+
+
+_CONTENT_FP_SQL = """
+    SELECT doc_id, md5(text) AS fp,
+           md5(lower(trim(text))) AS fp_norm
+    FROM documents
+"""
+
+_WINNOW_SQL = f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {K_GRAM} THEN
+               list_transform(
+                 range(1, length(text) - {K_GRAM} + 2),
+                 p -> CAST('0x' || substr(
+                        md5(substr(text, CAST(p AS INT), {K_GRAM})),
+                        1, 15) AS BIGINT))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM documents
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WINNOW_W} THEN
+               list_distinct(list_transform(
+                 range(1, len(hs) - {WINNOW_W} + 2),
+                 i -> list_min(list_slice(hs, CAST(i AS INT),
+                                          CAST(i + {WINNOW_W} - 1 AS INT)))))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM sel
+"""
+
+_TEXT_FP_SQL = probes(
+    wrap("content", ["doc_id", "fp", "fp_norm"], _CONTENT_FP_SQL),
+    wrap("winnow", ["doc_id", "fp"], _WINNOW_SQL),
+)
+
+
+@register("text_fingerprint", oracle=_TEXT_FP_SQL)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting, composite (both branches externally
+    scored):
+
+    - ``content``: whole-document md5 raw + normalized (the
+      exact-dedup key);
+    - ``winnow``: rolling-hash winnowing fingerprints (k-gram hash +
+      window-minimum selection, SIGMOD'03) — the LOCAL fingerprint
+      set that detects shared substrings ≥ k+w−1 chars, DuckDB-
+      replayed verbatim (identical md5-derived 60-bit hash arithmetic
+      in both engines)."""
+    return union_tagged(
+        [
+            ("content", content_fingerprints(spark, sf_dir), None),
+            (
+                "winnow",
+                winnow_fingerprints(
+                    table(spark, sf_dir, "documents").select("doc_id", "text")
+                ),
+                None,
+            ),
+        ]
     )
 
 

@@ -38,6 +38,7 @@ COMPOSITES = [
     "fn_math_hash",
     "mm_pipeline",
     "dedup_exact",
+    "text_fingerprint",
     # behavioral-contract queries: their booleans are fixed functions
     # of the dataset, so a second scale factor proves the guarantee
     # isn't an artifact of one corpus size

@@ -120,3 +120,61 @@ def test_simhash_64bit_and_hamming_exact(spark):
         expected = bin((sig(a) ^ sig(b)) & ((1 << 64) - 1)).count("1")
         assert got[(a, b)] == expected
         assert got[(a, b)] <= 6
+
+
+# --- winnowing rolling-hash fingerprints -----------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[int]:
+    """Pure-python reference of winnow_fingerprints' selection."""
+    import hashlib
+
+    if len(text) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    from ner_spark.ops.textops import K_GRAM, WINNOW_W, winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "tiny",          # shorter than k → no fingerprints
+        "exact",         # exactly k → one k-gram, fewer than w → min only
+        "a" * 40,        # degenerate: all k-grams identical
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t, K_GRAM, WINNOW_W), i
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length ≥ k+w−1 must yield at least one
+    shared fingerprint (the SIGMOD'03 winnowing guarantee)."""
+    from ner_spark.ops.textops import K_GRAM, WINNOW_W, winnow_fingerprints
+
+    shared = "entirely identical passage kept verbatim in both docs"
+    assert len(shared) >= K_GRAM + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (0, "left preamble text … " + shared + " … one suffix"),
+            (1, "other document head | " + shared + " | other tail"),
+            (2, "no overlap with the planted passage whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got[0] & got[1], "shared passage must share a fingerprint"
