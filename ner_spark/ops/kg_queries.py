@@ -61,13 +61,33 @@ def _evict_other_keys(key) -> None:
     combinations a long session touches."""
     for k in [k for k in _STAGES if k != key]:
         st = _STAGES.pop(k)
-        for persisted_key in ("tagged_turns", "nodes", "assignments"):
+        for persisted_key in (
+            "tagged_turns",
+            "nodes",
+            "assignments",
+            "bmes_mentions",
+        ):
             df = st.get(persisted_key)
             if df is not None:
                 try:
                     df.unpersist()
                 except Exception:
                     pass  # context already stopped — nothing to release
+
+
+def _stage_entry(spark, sf_dir) -> dict:
+    """Get-or-create the session stage dict WITHOUT building the BIO
+    stage DAG (callers that only need an alternate-tagger cache slot
+    must not pay BIO tagging)."""
+    # applicationId, not id(sc): a restarted context can reuse the
+    # python object address, which would serve stale persisted DFs
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _STAGES.get(key)
+    if st is None:
+        _evict_other_keys(key)
+        st = {"touches": 0}
+        _STAGES[key] = st
+    return st
 
 
 def _stages(spark, sf_dir, materialize: bool = False) -> dict:
@@ -88,14 +108,7 @@ def _stages(spark, sf_dir, materialize: bool = False) -> dict:
     from ner_spark.kg.cooccur import extract_triples
     from ner_spark.ner.tagger import mentions_from_turns, tag_turns
 
-    # applicationId, not id(sc): a restarted context can reuse the
-    # python object address, which would serve stale persisted DFs
-    key = (spark.sparkContext.applicationId, sf_dir)
-    st = _STAGES.get(key)
-    if st is None:
-        _evict_other_keys(key)
-        st = {"touches": 0}
-        _STAGES[key] = st
+    st = _stage_entry(spark, sf_dir)
     st["touches"] += 1
     if "tagged_turns" not in st:
         tagged = tag_turns(
@@ -173,6 +186,27 @@ def _cached_nodes(spark, sf_dir, st=None, st_view=None):
     return nodes
 
 
+def _bmes_mentions(spark, sf_dir):
+    """Get-or-create the PERSISTED BMES-model mention frame for this
+    (session, sf_dir) — shared by kg_mentions_alt and kg_contracts'
+    ``bio_bmes_parity`` row, so the BMES tagging pass (a full
+    mapInPandas sweep of the corpus) runs once per session, not once
+    per consumer.  Unpersisted via _evict_other_keys /
+    reset_stage_cache like every cached stage."""
+    from pyspark import StorageLevel
+
+    from ner_spark.ner.tagger import tag_mentions
+
+    st = _stage_entry(spark, sf_dir)
+    if "bmes_mentions" not in st:
+        st["bmes_mentions"] = tag_mentions(
+            _transcripts(spark, sf_dir),
+            mode="model_bmes",
+            num_partitions=_parts_for_cap(spark),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return st["bmes_mentions"]
+
+
 @register("kg_mentions")  # ⊘
 def kg_mentions(spark, sf_dir):
     """Stage 4: BiLSTM-CRF mapInPandas tagger output (PER/LOC/ORG
@@ -193,17 +227,19 @@ def kg_mentions_alt(spark, sf_dir):
       distributed UDF, C9 end-to-end.  Span parity with the BIO model
       is oracle-checked by kg_contracts' ``bio_bmes_parity`` row (the
       gazetteer BMES codec stays pytest-covered via
-      mode="gazetteer_bmes")."""
+      mode="gazetteer_bmes").  The BMES frame is the session-cached
+      one (_bmes_mentions) shared with kg_contracts' parity row."""
     from ner_spark.ner.tagger import tag_mentions
 
-    def run(mode: str):
-        return tag_mentions(
-            _transcripts(spark, sf_dir),
-            mode=mode,
-            num_partitions=_parts_for_cap(spark),
-        ).withColumn("mode", F.lit(mode))
-
-    return run("gazetteer").unionByName(run("model_bmes"))
+    gaz = tag_mentions(
+        _transcripts(spark, sf_dir),
+        mode="gazetteer",
+        num_partitions=_parts_for_cap(spark),
+    ).withColumn("mode", F.lit("gazetteer"))
+    bmes = _bmes_mentions(spark, sf_dir).withColumn(
+        "mode", F.lit("model_bmes")
+    )
+    return gaz.unionByName(bmes)
 
 
 @register("kg_triples")  # ⊘
@@ -311,7 +347,6 @@ def kg_contracts(spark, sf_dir):
       (checkpoint/lineage.resume_contract_violations).
     """
     from ner_spark.kg.linking import match_edges
-    from ner_spark.ner.tagger import tag_mentions
 
     st = _stages(spark, sf_dir, materialize=True)
     mentions = st["mentions"]
@@ -329,11 +364,7 @@ def kg_contracts(spark, sf_dir):
     disjoint = cnt("span_disjoint", span_overlap_violations(mentions))
     span_cols = ["conv_id", "turn_idx", "start", "end", "label"]
     bio = mentions.select(*span_cols)
-    bmes = tag_mentions(
-        _transcripts(spark, sf_dir),
-        mode="model_bmes",
-        num_partitions=_parts_for_cap(spark),
-    ).select(*span_cols)
+    bmes = _bmes_mentions(spark, sf_dir).select(*span_cols)
     parity = cnt(
         "bio_bmes_parity", bio.exceptAll(bmes).unionAll(bmes.exceptAll(bio))
     )

@@ -65,3 +65,18 @@ def test_vocabulary_and_assignments_persisted_and_evicted(spark):
     KQ._evict_other_keys(None)
     assert not nodes.storageLevel.useMemory
     assert not assigns.storageLevel.useMemory
+
+
+def test_bmes_mentions_cached_once_and_evicted(spark):
+    """The BMES-model mention frame (kg_mentions_alt + kg_contracts'
+    parity row) is built and persisted once per session, without
+    triggering the BIO stage DAG, and unpersisted on eviction."""
+    KQ = _fresh(spark)
+    key = (spark.sparkContext.applicationId, SF_SMALL)
+    bmes = KQ._bmes_mentions(spark, SF_SMALL)
+    st = KQ._STAGES[key]
+    assert "tagged_turns" not in st  # no BIO tagging paid
+    assert st["bmes_mentions"].storageLevel.useMemory
+    assert KQ._bmes_mentions(spark, SF_SMALL) is bmes  # cached
+    KQ._evict_other_keys(None)
+    assert not bmes.storageLevel.useMemory
