@@ -182,3 +182,17 @@ def test_grouped_map_exchange_width_pinned(spark):
         rf"hashpartitioning\(l_orderkey[^)]*, {n_parts}\), REPARTITION_BY_NUM",
         plan,
     ), plan[:2000]
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    """Winnowing is per-document array algebra: the plan must be
+    scan → project/generate with NO Exchange — each doc's fingerprint
+    set is independent of every other row, so at 100 TB the operator
+    is embarrassingly parallel and a shuffle here would be pure
+    waste."""
+    from ner_spark.io.read import table
+    from ner_spark.ops.textops import winnow_fingerprints
+
+    d = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    plan = _plan(winnow_fingerprints(d))
+    assert "Exchange" not in plan, plan[:2000]
