@@ -172,12 +172,15 @@ def _cached_nodes(spark, sf_dir, st=None, st_view=None):
 
     from ner_spark.kg.linking import surface_nodes
 
-    if st_view is None:
-        st_view = _stages(spark, sf_dir)
     if st is None:
         st = _STAGES.get((spark.sparkContext.applicationId, sf_dir))
     if st is not None and "nodes" in st:
         return st["nodes"]
+    # cache-miss only: building st_view touches _stages' access
+    # counter (its ≥2-touches heuristic triggers the tagged persist),
+    # so a pure cache read must not reach it.
+    if st_view is None:
+        st_view = _stages(spark, sf_dir)
     nodes = surface_nodes(st_view["mentions"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -264,9 +264,10 @@ def sim_lsh(spark, sf_dir):
     one bucket; multiprobe covers cluster members split across a
     hyperplane — measured 1.0 vs 0.87 single-probe here).  n_truth =
     3·N_QUERY also proves brute force returned a full top-3 per query.
-    The production-shaped adaptive-bucket path over the raw table
-    stays available as ``ann_lsh(table)`` (pytest +
-    plan audit)."""
+    The production-shaped adaptive-bucket path (n_bits=None sizing
+    via ``adaptive_bits``) stays executing in pytest — the
+    adaptive-default parity tests in
+    tests/unit_ops/test_similarity_ann.py."""
     return _ann_recall_contract(
         spark, sf_dir, lambda p: ann_lsh(p, n_bits=4, multiprobe=True), 0.8
     )

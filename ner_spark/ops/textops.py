@@ -691,23 +691,25 @@ def minhash_candidates(spark, sf_dir) -> DataFrame:
 # guarantee in-Spark, emit values a plain-SQL oracle predicts) -------
 
 # Deterministic planted near-duplicates: every ≥100-char document with
-# doc_id ≡ 0 (mod 10) gets a copy (doc_id + PLANT_OFFSET) with a small
-# suffix appended — 5-gram jaccard ≥ ~0.88, far above the LSH banding
-# knee (P[candidate] = 1-(1-j⁴)^16 ≈ 1.0 at j = 0.88), so the ≥ 0.9
-# recall bound holds with wide margin and is a FIXED function of the
-# dataset (hash family is RNG-free), not a statistical coin flip.
-PLANT_OFFSET = 1_000_000
+# doc_id ≡ 0 (mod 10) gets a copy (id = -doc_id - 1, i.e. bitwise NOT:
+# collision-free against ANY non-negative real id space, unlike an
+# additive offset which a big-enough corpus would walk into) with a
+# small suffix appended — 5-gram jaccard ≥ ~0.88, far above the LSH
+# banding knee (P[candidate] = 1-(1-j⁴)^16 ≈ 1.0 at j = 0.88), so the
+# ≥ 0.9 recall bound holds with wide margin and is a FIXED function of
+# the dataset (hash family is RNG-free), not a statistical coin flip.
 PLANT_SUFFIX = " the end"
 _PLANT_PRED_SQL = "length(text) >= 100 AND doc_id % 10 = 0"
 
 
 def planted_near_dups(docs: DataFrame) -> DataFrame:
-    """documents ∪ deterministic near-dup copies (see PLANT_OFFSET)."""
+    """documents ∪ deterministic near-dup copies (ids = -doc_id - 1,
+    see the PLANT_SUFFIX comment above)."""
     base = docs.select("doc_id", "lang", "source", "text")
     copies = base.filter(
         (F.length("text") >= 100) & (F.col("doc_id") % 10 == 0)
     ).select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         "lang",
         "source",
         F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
@@ -719,7 +721,7 @@ _DEDUP_MINHASH_SQL = f"""
     WITH aug AS (
       SELECT doc_id, lang, source, text FROM documents
       UNION ALL
-      SELECT doc_id + {PLANT_OFFSET}, lang, source, text || '{PLANT_SUFFIX}'
+      SELECT -doc_id - 1, lang, source, text || '{PLANT_SUFFIX}'
       FROM documents WHERE {_PLANT_PRED_SQL}
     ), pos AS (
       SELECT doc_id, lang, source, text,

@@ -65,7 +65,7 @@ def run_pipeline(
         # Vocabulary-scale frames referenced by several linking/CC/
         # materialize actions — persist both so the linking pipeline
         # executes once (same policy as ops/kg_queries' stage cache;
-        # callers own the returned frames' unpersist).
+        # callers release via release_pipeline below).
         nodes = surface_nodes(mentions).persist(StorageLevel.MEMORY_AND_DISK)
         out["nodes"] = nodes
         assignments = entity_assignments(mentions, nodes=nodes).persist(
@@ -75,6 +75,19 @@ def run_pipeline(
         out["entities"] = build_entities(mentions, assignments)
         out["edges"] = build_edges(triples, assignments)
     return out
+
+
+def release_pipeline(out: dict[str, DataFrame]) -> None:
+    """Unpersist every frame ``run_pipeline`` persisted (tagged_turns
+    under materialize=True, plus nodes/assignments).  A long-lived
+    session invoking run_pipeline per batch must release each batch's
+    dict or executor storage grows without bound — the same policy the
+    catalog's stage cache enforces via _evict_other_keys /
+    reset_stage_cache (ops/kg_queries.py)."""
+    for key in ("tagged_turns", "nodes", "assignments"):
+        df = out.get(key)
+        if df is not None and df.is_cached:
+            df.unpersist()
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

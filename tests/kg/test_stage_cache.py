@@ -80,3 +80,43 @@ def test_bmes_mentions_cached_once_and_evicted(spark):
     assert KQ._bmes_mentions(spark, SF_SMALL) is bmes  # cached
     KQ._evict_other_keys(None)
     assert not bmes.storageLevel.useMemory
+
+
+def test_cached_nodes_hit_is_a_pure_cache_read(spark):
+    """A warm nodes cache must NOT rebuild the stage DAG: _stages'
+    touches counter (whose second hit persists the tagged frame, and
+    which a discarded rebuild would bump as a side effect) stays put
+    across repeated _cached_nodes hits."""
+    KQ = _fresh(spark)
+    key = (spark.sparkContext.applicationId, SF_SMALL)
+    KQ._stages(spark, SF_SMALL, materialize=True)
+    st = KQ._STAGES[key]
+    touches = st["touches"]
+    nodes = KQ._cached_nodes(spark, SF_SMALL)
+    assert KQ._cached_nodes(spark, SF_SMALL) is nodes
+    assert st["touches"] == touches
+    KQ._evict_other_keys(None)
+
+
+def test_release_pipeline_unpersists_everything(spark):
+    """run_pipeline(materialize=True) persists tagged/nodes/
+    assignments; release_pipeline must return ALL of them to
+    unpersisted state — a long-lived session calling run_pipeline per
+    batch otherwise accumulates executor storage without bound."""
+    from ner_spark.pipeline import (
+        release_pipeline,
+        run_pipeline,
+        transcripts_for_sf,
+    )
+
+    t = transcripts_for_sf(spark, SF_SMALL, cap=30)
+    out = run_pipeline(spark, t, mode="gazetteer", materialize=True)
+    persisted = [out["tagged_turns"], out["nodes"], out["assignments"]]
+    assert all(df.is_cached for df in persisted)
+    release_pipeline(out)
+    assert not any(df.is_cached for df in persisted)
+    # idempotent and safe on the non-materialized shape too
+    release_pipeline(out)
+    out2 = run_pipeline(spark, t, mode="gazetteer")
+    release_pipeline(out2)
+    assert not out2["tagged_turns"].is_cached

@@ -171,3 +171,56 @@ def test_embcos_bucketed_candidates_contract(spark, planted):
     assert got_set <= truth, sorted(got_set - truth)[:5]
     recall = len(got_set & truth) / len(truth)
     assert recall >= 0.95, (recall, len(truth))
+
+
+def test_adaptive_bits_sizing():
+    """~64 vectors/bucket at any corpus size, clamped to [4, 24] --
+    the pure sizing rule behind every n_bits=None default."""
+    from ner_spark.ops.similarity import adaptive_bits
+
+    assert adaptive_bits(0) == 4  # degenerate corpora stay sane
+    assert adaptive_bits(500) == 4  # clamp floor: >= 16 buckets
+    assert adaptive_bits(64 * 2**10) == 10  # exact interior point
+    assert adaptive_bits(10**9) == 24  # clamp ceiling
+    assert adaptive_bits(10**12) == 24
+
+
+def test_ann_lsh_adaptive_default_matches_explicit(spark, planted):
+    """n_bits=None sizes the bucket count from a one-job corpus count
+    (adaptive_bits) and must behave exactly like the explicitly-sized
+    operator -- this keeps the production default path EXECUTING, not
+    just the explicit n_bits the registered queries pin."""
+    from ner_spark.ops.similarity import adaptive_bits
+
+    expected_bits = adaptive_bits(planted.count())
+    auto = {
+        (int(r["qid"]), int(r["nid"])) for r in ann_lsh(planted).collect()
+    }
+    explicit = {
+        (int(r["qid"]), int(r["nid"]))
+        for r in ann_lsh(planted, n_bits=expected_bits).collect()
+    }
+    assert auto == explicit
+    assert auto  # non-vacuous: the adaptive run returned neighbors
+
+
+def test_embcos_bucketed_adaptive_default_matches_explicit(spark, planted):
+    """Same contract for the pair-dedup scale path's n_bits=None."""
+    from ner_spark.ops.similarity import (
+        adaptive_bits,
+        embcos_candidates_bucketed,
+    )
+
+    expected_bits = adaptive_bits(planted.count())
+    auto = {
+        (int(r["vec_a"]), int(r["vec_b"]))
+        for r in embcos_candidates_bucketed(planted, threshold=0.9).collect()
+    }
+    explicit = {
+        (int(r["vec_a"]), int(r["vec_b"]))
+        for r in embcos_candidates_bucketed(
+            planted, threshold=0.9, n_bits=expected_bits
+        ).collect()
+    }
+    assert auto == explicit
+    assert auto
