@@ -1,0 +1,203 @@
+"""Real media codecs, standard-library only (no PIL/ffmpeg needed).
+
+The multimodal pipeline (ops/multimodal.py) treats media as opaque
+``binary`` columns; its decode/resize/frame-sample hooks dispatch here
+for the formats a zero-dependency environment CAN genuinely decode:
+
+- **PNG** (baseline: 8-bit gray/RGB/RGBA, non-interlaced) — the IDAT
+  stream is plain zlib [P: RFC 2083 / W3C PNG spec]; the five scanline
+  filters (None/Sub/Up/Average/Paeth) are inverted exactly.  Encoder
+  emits filter 0; the decoder handles all five (pytest-pinned against
+  spec-forward-filtered streams).
+- **WAV** (16-bit mono PCM) — via the stdlib ``wave`` module.
+- **NSVC** — a deterministic toy video container defined HERE (magic
+  ``NSV1`` + frame index + concatenated PNG frames) so frame-sampling
+  has a real, seekable decode path; per-frame extraction reads ONLY
+  the target frame's bytes (index header → slice), the 100 TB shape.
+
+Formats that genuinely need external codecs (JPEG, MP3, H.264…) still
+raise NotImplementedError in the multimodal hooks — honestly
+env-blocked, now a much smaller surface.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+NSVC_MAGIC = b"NSV1"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # PNG color type -> samples per pixel
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal spec-compliant PNG writer: 8-bit gray / RGB / RGBA,
+    filter 0 scanlines, one zlib IDAT.  Deterministic (fixed
+    compression level), so payloads built from it are stable across
+    retries — the property every synthetic fixture here relies on."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color = 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color = 2
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color = 6
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Invert the PNG scanline filters.  Filters 0 (None) and 2 (Up)
+    vectorize; 1/3/4 (Sub/Average/Paeth) need the in-row recurrence —
+    encoders here emit 0, so the hot path is the vector one."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8)
+        pos += 1 + stride
+        if f == 0:
+            cur = row.astype(np.int32)
+        elif f == 2:
+            cur = (row.astype(np.int32) + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, dtype=np.int32)
+            r = row.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[i] = (r[i] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Baseline PNG decode → uint8 array (h, w) or (h, w, ch).
+    Supports what encode_png emits plus filters 1–4; anything fancier
+    (16-bit, palette, interlace) raises NotImplementedError."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if depth != 8 or color not in _CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "not supported by the stdlib decoder"
+        )
+    ch = _CHANNELS[color]
+    img = _unfilter(zlib.decompress(idat), w, h, ch)
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize: source index =
+    floor(i·in/out) — pure integer arithmetic, so an SQL oracle can
+    predict every output pixel."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """16-bit mono PCM WAV via the stdlib ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """→ (int16 sample array, frame rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM supported")
+        rate = wv.getframerate()
+        frames = wv.readframes(wv.getnframes())
+    return np.frombuffer(frames, dtype="<i2"), rate
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """NSVC container: magic + u32 frame count + u32 per-frame lengths
+    + concatenated PNG frames.  The length index makes single-frame
+    extraction O(frame size), not O(video size) — see decode_frame."""
+    parts = [encode_png(f) for f in frames]
+    head = NSVC_MAGIC + struct.pack(">I", len(parts))
+    head += b"".join(struct.pack(">I", len(p)) for p in parts)
+    return head + b"".join(parts)
+
+
+def video_n_frames(data: bytes) -> int:
+    if data[:4] != NSVC_MAGIC:
+        raise ValueError("not an NSVC stream")
+    return int.from_bytes(data[4:8], "big")
+
+
+def decode_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Extract ONE frame: read the index, slice the target PNG, decode
+    only it.  (On object storage this is a ranged read — the whole
+    point of an indexed container at 100 TB.)"""
+    n = video_n_frames(data)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} of {n}")
+    lens = struct.unpack(f">{n}I", data[8 : 8 + 4 * n])
+    start = 8 + 4 * n + sum(lens[:frame_idx])
+    return decode_png(data[start : start + lens[frame_idx]])

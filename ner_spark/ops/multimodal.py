@@ -2,11 +2,24 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side plumbing — schema, partitioning, Arrow batch
-shape, mapInPandas signatures — is real and tested; the actual codec
-calls are STUBBED (the sandbox has no image/audio libraries): decode
-is a clearly-marked deterministic fake keyed on the byte content, and
-`decode_real` raises NotImplementedError so a production deployment
-must plug a codec in consciously.
+shape, mapInPandas signatures — is real and tested.  Codecs come in
+two tiers:
+
+- **Real, stdlib-only** (ops/codecs.py): baseline PNG (zlib), 16-bit
+  PCM WAV (wave), and the NSVC indexed video container — decode,
+  resize, and frame-sample genuinely run on real bytes, and the
+  ``real`` branch of ``mm_pipeline`` proves it externally (payloads
+  are PNG/WAV/NSVC encodings of integer-arithmetic pixel patterns, so
+  a plain-SQL oracle predicts every decoded dimension and pixel SUM —
+  exact, no rounding).
+- **Env-blocked hooks**: formats that need external codecs (JPEG,
+  MP3, H.264…) still raise NotImplementedError in
+  ``decode_real``/``resize_real``/``sample_real`` — a production
+  deployment plugs PIL/ffmpeg in consciously.
+
+The md5-keyed deterministic fakes remain as the separate
+decode/resize/frame-sample branches: they exercise the same plumbing
+with payloads DuckDB can replay byte-for-byte.
 """
 
 from __future__ import annotations
@@ -74,10 +87,24 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, kind: str):
-    """Production codec hook — intentionally unimplemented here."""
+    """REAL decode for the stdlib-supported formats, dispatched on
+    magic bytes: PNG → {'kind': 'image', 'array': uint8 ndarray},
+    WAV → {'kind': 'audio', 'samples': int16 ndarray, 'rate': int},
+    NSVC → {'kind': 'video', 'n_frames': int}.  Anything else (JPEG,
+    MP3, H.264…) needs an external codec — still intentionally
+    unimplemented here."""
+    from ner_spark.ops import codecs
+
+    if payload[:8] == codecs.PNG_SIG:
+        return {"kind": "image", "array": codecs.decode_png(payload)}
+    if payload[:4] == b"RIFF":
+        samples, rate = codecs.decode_wav(payload)
+        return {"kind": "audio", "samples": samples, "rate": rate}
+    if payload[:4] == codecs.NSVC_MAGIC:
+        return {"kind": "video", "n_frames": codecs.video_n_frames(payload)}
     raise NotImplementedError(
-        "no image/audio codecs in this environment; plug in PIL/ffmpeg "
-        "and route _decode_fn through this"
+        "payload is not PNG/WAV/NSVC; plug in PIL/ffmpeg for other "
+        "formats and route _decode_fn through this"
     )
 
 
@@ -229,18 +256,31 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_real(payload: bytes, w: int, h: int) -> bytes:
-    """Production image-resize hook — intentionally unimplemented."""
+    """REAL image resize for PNG payloads (decode → integer-exact
+    nearest-neighbor → re-encode); other formats need PIL."""
+    from ner_spark.ops import codecs
+
+    if payload[:8] == codecs.PNG_SIG:
+        return codecs.encode_png(
+            codecs.resize_nearest(codecs.decode_png(payload), w, h)
+        )
     raise NotImplementedError(
-        "no image codecs in this environment; plug in PIL and route "
+        "payload is not PNG; plug in PIL for other formats and route "
         "resize_media's inner call through this"
     )
 
 
 def sample_real(payload: bytes, frame_idx: int) -> bytes:
-    """Production frame-extract hook — intentionally unimplemented."""
+    """REAL frame extraction for NSVC payloads (indexed ranged read →
+    the frame's PNG bytes); real video codecs need ffmpeg/pyav."""
+    from ner_spark.ops import codecs
+
+    if payload[:4] == codecs.NSVC_MAGIC:
+        frame = codecs.decode_frame(payload, frame_idx)
+        return codecs.encode_png(frame)
     raise NotImplementedError(
-        "no video codecs in this environment; plug in ffmpeg/pyav and "
-        "route sample_frames' inner call through this"
+        "payload is not NSVC; plug in ffmpeg/pyav for real video "
+        "formats and route sample_frames' inner call through this"
     )
 
 
@@ -332,6 +372,166 @@ def _mm_frames_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# REAL-codec branch: PNG/WAV/NSVC payloads whose pixel/sample content
+# is pure integer arithmetic in doc_id, so decode → dims + SUM is
+# SQL-predictable EXACTLY (no floats, no rounding).  Two chained
+# mapInPandas stages (encode, then decode/resize/sample via the real
+# hooks) — the payload bytes cross the Arrow boundary twice and no
+# exchange, same shuffle-free shape as the fake branches.
+# ---------------------------------------------------------------------------
+
+REAL_IMG_W, REAL_IMG_H = 24, 16
+REAL_AUD_N, REAL_AUD_RATE = 256, 16000
+REAL_VID_W, REAL_VID_H = 16, 12
+
+REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("idx", T.IntegerType(), False),
+        T.StructField("dim_a", T.IntegerType(), False),
+        T.StructField("dim_b", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ]
+)
+
+
+def _real_px(d: int, w: int, h: int, f: int = 0):
+    """(h, w, 3) uint8 pattern px[y][x][c] = (7d + x + 3y + 11c + 13f)
+    % 256 — the integer formula _MM_REAL_SQL replays."""
+    import numpy as np
+
+    x, y, c = np.arange(w), np.arange(h), np.arange(3)
+    base = d * 7 + x[None, :, None] + 3 * y[:, None, None] + 11 * c[None, None, :]
+    return ((base + 13 * f) % 256).astype("uint8")
+
+
+def real_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode stage: REAL PNG/WAV/NSVC payloads, deterministic integer
+    pixel/sample patterns in doc_id (formulas mirrored in
+    _MM_REAL_SQL).  Only doc_id is read — text never enters this
+    branch."""
+    from ner_spark.ops import codecs
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k = d % 3
+                if k == 0:
+                    payload = codecs.encode_png(
+                        _real_px(d, REAL_IMG_W, REAL_IMG_H)
+                    )
+                    kind, mime = "image", "image/png"
+                elif k == 1:
+                    t = np.arange(REAL_AUD_N, dtype=np.int64)
+                    samples = (d * 31 + t * 17) % 32768 - 16384
+                    payload = codecs.encode_wav(samples, REAL_AUD_RATE)
+                    kind, mime = "audio", "audio/wav"
+                else:
+                    frames = [
+                        _real_px(d, REAL_VID_W, REAL_VID_H, f)
+                        for f in range(1 + d % 5)
+                    ]
+                    payload = codecs.encode_video(frames)
+                    kind, mime = "video", "video/x-nsvc"
+                rows.append((d, kind, payload, (mime, len(payload))))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def mm_real(spark, sf_dir) -> DataFrame:
+    """Decode stage over the real payloads, via the REAL hooks
+    (decode_real / resize_real / sample_real).  Emits one
+    integer-exact contract row per decoded object:
+
+    - image idx 0: decoded (w, h, pixel sum); idx 1: resize_real to
+      8×8 (nearest, integer index map) re-decoded (8, 8, pixel sum);
+    - audio idx 0: (n_samples, rate, sample sum);
+    - video idx f: every stride-2 sampled frame's (w, h, pixel sum).
+
+    A broken filter inversion, a mis-sliced container frame, or an
+    off-by-one in the resize index map shifts a SUM and the oracle row
+    mismatches — decode correctness is externally falsifiable without
+    shipping arrays through the driver compare."""
+    from ner_spark.ops import codecs
+
+    media = real_media_from_documents(table(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                mid, payload = int(mid), bytes(payload)
+                d = decode_real(payload, kind)
+                if d["kind"] == "image":
+                    arr = d["array"]
+                    out.append(
+                        (mid, kind, 0, arr.shape[1], arr.shape[0],
+                         int(arr.sum(dtype="int64")))
+                    )
+                    small = codecs.decode_png(resize_real(payload, 8, 8))
+                    out.append(
+                        (mid, kind, 1, 8, 8, int(small.sum(dtype="int64")))
+                    )
+                elif d["kind"] == "audio":
+                    s = d["samples"]
+                    out.append(
+                        (mid, kind, 0, len(s), d["rate"],
+                         int(s.sum(dtype="int64")))
+                    )
+                else:
+                    for f in range(0, d["n_frames"], 2):
+                        fr = codecs.decode_png(sample_real(payload, f))
+                        out.append(
+                            (mid, kind, f, fr.shape[1], fr.shape[0],
+                             int(fr.sum(dtype="int64")))
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in REAL_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(fn, REAL_SCHEMA)
+
+
+_MM_REAL_SQL = f"""
+    SELECT d.doc_id AS media_id, 'image' AS kind, 0 AS idx,
+           {REAL_IMG_W} AS dim_a, {REAL_IMG_H} AS dim_b,
+           CAST(sum((d.doc_id*7 + x.x + 3*y.y + 11*c.c) % 256)
+                AS BIGINT) AS px_sum
+    FROM documents d, range({REAL_IMG_W}) x(x), range({REAL_IMG_H}) y(y),
+         range(3) c(c)
+    WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
+    UNION ALL
+    SELECT d.doc_id, 'image', 1, 8, 8,
+           CAST(sum((d.doc_id*7 + 3*j.j + 6*i.i + 11*c.c) % 256) AS BIGINT)
+    FROM documents d, range(8) j(j), range(8) i(i), range(3) c(c)
+    WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
+    UNION ALL
+    SELECT d.doc_id, 'audio', 0, {REAL_AUD_N}, {REAL_AUD_RATE},
+           CAST(sum((d.doc_id*31 + t.t*17) % 32768 - 16384) AS BIGINT)
+    FROM documents d, range({REAL_AUD_N}) t(t)
+    WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id
+    UNION ALL
+    SELECT d.doc_id, 'video', CAST(f.f AS INT), {REAL_VID_W}, {REAL_VID_H},
+           CAST(sum((d.doc_id*7 + x.x + 3*y.y + 11*c.c + 13*f.f) % 256)
+                AS BIGINT)
+    FROM documents d, range(5) f(f), range({REAL_VID_W}) x(x),
+         range({REAL_VID_H}) y(y), range(3) c(c)
+    WHERE d.doc_id % 3 = 2 AND f.f % 2 = 0 AND f.f < 1 + d.doc_id % 5
+    GROUP BY d.doc_id, f.f
+"""
+
+
 @register(
     "mm_pipeline",
     oracle=_probes(
@@ -347,14 +547,19 @@ def _mm_frames_sql() -> str:
               _mm_resize_sql()),
         _wrap("frames", ["media_id", "frame_idx", "frame_fp"],
               _mm_frames_sql()),
+        _wrap("real",
+              ["media_id", "kind", "idx", "dim_a", "dim_b", "px_sum"],
+              _MM_REAL_SQL),
     ),
 )
 def mm_pipeline(spark, sf_dir):
     """The full multimodal pipeline as one composite probe query:
     metadata aggregation (JVM-only), decode/feature-extract, image
-    resize, and video frame-sampling — every codec a documented
-    deterministic fake over real mapInPandas plumbing, every branch
-    replayed exactly by DuckDB from the same bytes."""
+    resize, and video frame-sampling over md5-keyed deterministic
+    fakes DuckDB replays byte-for-byte, PLUS the ``real`` branch —
+    actual PNG/WAV/NSVC encode→decode→resize→frame-sample through the
+    stdlib codecs (ops/codecs.py), whose integer pixel patterns make
+    every decoded dimension and pixel sum SQL-predictable exactly."""
     d = table(spark, sf_dir, "documents")
     m = media_from_documents(d)
     return _union_tagged(
@@ -373,5 +578,6 @@ def mm_pipeline(spark, sf_dir):
                 sample_frames(m).select("media_id", "frame_idx", "frame_fp"),
                 None,
             ),
+            ("real", mm_real(spark, sf_dir), None),
         ]
     )

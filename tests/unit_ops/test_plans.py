@@ -109,6 +109,18 @@ def test_multimodal_decode_is_shuffle_free(spark):
         assert "MapInPandas" in plan
 
 
+def test_multimodal_real_branch_is_shuffle_free(spark):
+    """The real-codec branch (encode mapInPandas → decode/resize/
+    sample mapInPandas) chains two Python stages with NO Exchange
+    between them — payload bytes cross the Arrow boundary twice but
+    never the wire."""
+    from ner_spark.ops.multimodal import mm_real
+
+    plan = _plan(mm_real(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 2, plan[:2000]
+
+
 def test_dedup_signatures_no_exchange_when_well_split(spark):
     """MinHash/SimHash signature stages must not repartition raw
     document bytes when the input already has >= defaultParallelism

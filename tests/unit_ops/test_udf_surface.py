@@ -145,3 +145,99 @@ def test_mm_decode_real_is_guarded():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"x", "image")
+
+
+def test_mm_real_codec_branch_end_to_end(spark):
+    """The ``real`` branch pushes actual PNG/WAV/NSVC bytes through
+    two chained mapInPandas stages and decodes them with the stdlib
+    codecs.  Recompute a sample of expected (dims, pixel/sample sum)
+    rows independently in-process -- a broken filter inversion,
+    container slice, or resize index map would shift a sum."""
+    import numpy as np
+
+    from ner_spark.ops.multimodal import (
+        REAL_AUD_N,
+        REAL_AUD_RATE,
+        REAL_IMG_H,
+        REAL_IMG_W,
+        REAL_VID_H,
+        REAL_VID_W,
+        _real_px,
+        mm_real,
+    )
+
+    got = {
+        (int(r.media_id), int(r.idx)): (
+            r.kind, int(r.dim_a), int(r.dim_b), int(r.px_sum)
+        )
+        for r in mm_real(spark, SF_ORACLE).collect()
+    }
+    n_docs = table(spark, SF_ORACLE, "documents").count()
+    assert len(got) > n_docs  # images emit 2 rows each
+
+    for d in range(12):  # four of each kind
+        k = d % 3
+        if k == 0:
+            full = _real_px(d, REAL_IMG_W, REAL_IMG_H)
+            assert got[(d, 0)] == (
+                "image", REAL_IMG_W, REAL_IMG_H, int(full.sum())
+            )
+            small = full[(np.arange(8) * REAL_IMG_H) // 8][
+                :, (np.arange(8) * REAL_IMG_W) // 8
+            ]
+            assert got[(d, 1)] == ("image", 8, 8, int(small.sum()))
+        elif k == 1:
+            t = np.arange(REAL_AUD_N, dtype=np.int64)
+            s = (d * 31 + t * 17) % 32768 - 16384
+            assert got[(d, 0)] == (
+                "audio", REAL_AUD_N, REAL_AUD_RATE, int(s.sum())
+            )
+        else:
+            for f in range(0, 1 + d % 5, 2):
+                fr = _real_px(d, REAL_VID_W, REAL_VID_H, f)
+                assert got[(d, f)] == (
+                    "video", REAL_VID_W, REAL_VID_H, int(fr.sum())
+                )
+
+
+def test_mm_real_hooks_dispatch_and_guard(spark):
+    """decode_real/resize_real/sample_real really decode the stdlib
+    formats and still raise for formats that need external codecs."""
+    import numpy as np
+    import pytest
+
+    from ner_spark.ops.codecs import (
+        decode_png,
+        encode_png,
+        encode_video,
+        encode_wav,
+    )
+    from ner_spark.ops.multimodal import (
+        decode_real,
+        resize_real,
+        sample_real,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    d = decode_real(encode_png(img), "image")
+    assert d["kind"] == "image" and np.array_equal(d["array"], img)
+
+    samples = np.arange(-8, 8, dtype="<i2")
+    d = decode_real(encode_wav(samples, 8000), "audio")
+    assert d["kind"] == "audio" and d["rate"] == 8000
+    assert np.array_equal(d["samples"], samples)
+
+    vid = encode_video([img, img + 1])
+    assert decode_real(vid, "video") == {"kind": "video", "n_frames": 2}
+    assert np.array_equal(decode_png(sample_real(vid, 1)), img + 1)
+
+    small = decode_png(resize_real(encode_png(img), 3, 2))
+    assert np.array_equal(small, img[[0, 2]][:, [0, 2, 4]])
+
+    for fn in (
+        lambda: decode_real(b"\xff\xd8\xff jpeg?", "image"),
+        lambda: resize_real(b"GIF89a...", 2, 2),
+        lambda: sample_real(b"\x00\x00\x00\x18ftypmp42", 0),
+    ):
+        with pytest.raises(NotImplementedError):
+            fn()
