@@ -97,7 +97,7 @@ def decode_real(payload: bytes, kind: str):
 
     if payload[:8] == codecs.PNG_SIG:
         return {"kind": "image", "array": codecs.decode_png(payload)}
-    if payload[:4] == b"RIFF":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = codecs.decode_wav(payload)
         return {"kind": "audio", "samples": samples, "rate": rate}
     if payload[:4] == codecs.NSVC_MAGIC:

@@ -133,3 +133,15 @@ def test_resize_nearest_exact_indices():
     assert np.array_equal(got, a[[0, 2]][:, [0, 2, 4]])
     # identity when shapes match
     assert np.array_equal(resize_nearest(a, 6, 4), a)
+
+
+def test_non_wave_riff_is_not_dispatched_as_audio():
+    """A RIFF container that is not WAVE (e.g. AVI) must fall through
+    to the env-blocked hook, not crash inside the wave module."""
+    import pytest
+
+    from ner_spark.ops.multimodal import decode_real
+
+    avi = b"RIFF" + b"\x00\x00\x00\x24" + b"AVI " + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        decode_real(avi, "video")
