@@ -200,6 +200,13 @@ def commit_stage(
             json.dump(rec, f)
         os.replace(tmp, path)  # atomic rename = the commit point
 
+    # Snapshot manifest LAST — it must only ever describe a fully
+    # committed table state (S2's snapshot-pinned read contract,
+    # checkpoint/snapshots.py).
+    from ner_spark.checkpoint.snapshots import record_snapshot
+
+    record_snapshot(root, stage, n_buckets)
+
     return spark.read.parquet(data_dir).drop("part")
 
 

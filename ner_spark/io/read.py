@@ -47,6 +47,13 @@ def read_transcripts(
     the sandbox (no network — SURVEY.md §0), so this transparently
     falls back to the parquet layout, which is partitioned by
     ``part=pmod(xxhash64(conv_id), N)`` so resume reads prune.
+
+    The fallback HONORS ``snapshot_id`` when the path was written by
+    ``commit_stage`` (checkpoint/snapshots.py records a JSON manifest
+    per commit): the read pins the manifest's exact fileset — atomic
+    visibility + time travel until a bucket is overwritten, with
+    SnapshotExpiredError when it was.  Only a bare directory with no
+    snapshot log ignores the pin (and raises to say so).
     """
     try:
         if ".parquet" in path or not spark.conf.get(
@@ -58,8 +65,24 @@ def read_transcripts(
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(path)
     except Exception:
-        # Parquet fallback; `part=` hive-style dirs surface as a column
-        # and drive partition pruning on resume (operator J6 path).
+        import os
+
+        from ner_spark.checkpoint.snapshots import (
+            SNAP_TABLE,
+            read_snapshot,
+        )
+
+        root, stage = os.path.split(os.path.normpath(path))
+        if os.path.isdir(os.path.join(root, SNAP_TABLE, stage)):
+            return read_snapshot(spark, root, stage, snapshot_id)
+        if snapshot_id is not None:
+            raise ValueError(
+                f"snapshot_id={snapshot_id} requested but {path!r} has "
+                "no snapshot log (not written by commit_stage) and no "
+                "Iceberg catalog is configured"
+            )
+        # Plain-parquet fallback; `part=` hive-style dirs surface as a
+        # column and drive partition pruning on resume (J6 path).
         return spark.read.parquet(path)
 
 

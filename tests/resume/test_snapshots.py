@@ -1,0 +1,110 @@
+"""Snapshot-pinned reads over the parquet fallback (operator S2's
+semantics without the Iceberg jar): atomic fileset visibility, time
+travel until overwrite, expiry detection, and the read_transcripts
+integration."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.checkpoint.lineage import commit_stage, with_bucket
+from ner_spark.checkpoint.snapshots import (
+    SnapshotExpiredError,
+    read_snapshot,
+    snapshots,
+)
+from ner_spark.fixtures.transcripts import transcripts_df
+from ner_spark.io.read import read_transcripts
+
+N_BUCKETS = 4
+
+
+def _slice(t, buckets):
+    """Rows of ``t`` landing in the given bucket ids (pure function of
+    conv_id, so commit-time bucketing reproduces it exactly)."""
+    return (
+        with_bucket(t, N_BUCKETS)
+        .filter(F.col("part").isin(list(buckets)))
+        .drop("part")
+    )
+
+
+def test_snapshot_history_time_travel_and_expiry(spark, tmp_path):
+    root = str(tmp_path)
+    t = transcripts_df(spark, 24)  # 24 convs spread over all 4 buckets
+
+    # commit 1: only the rows of buckets {0, 1} → a partial table
+    commit_stage(_slice(t, {0, 1}), root, "turns", n_buckets=N_BUCKETS)
+    hist = snapshots(root, "turns")
+    assert [r["snapshot_id"] for r in hist] == [1]
+    assert hist[0]["parent_id"] is None
+    n1 = read_snapshot(spark, root, "turns", 1).count()
+    assert n1 == _slice(t, {0, 1}).count() > 0
+
+    # commit 2 (resume): fills ONLY the missing buckets — dynamic
+    # overwrite leaves snapshot 1's files alone, so time travel works
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    hist = snapshots(root, "turns")
+    assert [r["snapshot_id"] for r in hist] == [1, 2]
+    assert hist[1]["parent_id"] == 1
+    assert read_snapshot(spark, root, "turns").count() == t.count()
+    assert read_snapshot(spark, root, "turns", 1).count() == n1  # pinned
+
+    # commit 3 (no resume): rewrites every bucket → snapshots 1 and 2
+    # expire (the fallback overwrites in place, unlike Iceberg's COW)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS, resume=False)
+    assert read_snapshot(spark, root, "turns").count() == t.count()
+    for old in (1, 2):
+        with pytest.raises(SnapshotExpiredError):
+            read_snapshot(spark, root, "turns", old)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, root, "turns", 99)
+
+
+def test_snapshot_read_is_atomic_against_stray_files(spark, tmp_path):
+    """A file landing in the directory AFTER the commit (torn write,
+    concurrent writer) is invisible to snapshot reads — the manifest
+    pins the fileset; a plain directory read double-counts."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    n = t.count()
+
+    data_dir = os.path.join(root, "turns")
+    part_dirs = [d for d in os.listdir(data_dir) if d.startswith("part=")]
+    src_dir = os.path.join(data_dir, part_dirs[0])
+    src = next(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(src_dir, src),
+        os.path.join(src_dir, "stray-" + src),
+    )
+
+    assert spark.read.parquet(data_dir).count() > n  # dir read: torn
+    assert read_snapshot(spark, root, "turns").count() == n  # pinned
+
+
+def test_read_transcripts_honors_snapshot_log(spark, tmp_path):
+    root = str(tmp_path)
+    t = transcripts_df(spark, 24)
+    commit_stage(_slice(t, {0, 1}), root, "turns", n_buckets=N_BUCKETS)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+
+    path = os.path.join(root, "turns")
+    assert read_transcripts(spark, path).count() == t.count()
+    assert (
+        read_transcripts(spark, path, snapshot_id=1).count()
+        == _slice(t, {0, 1}).count()
+    )
+    # a bare parquet dir (no snapshot log) cannot honor a pin → raise,
+    # never silently return un-pinned rows
+    bare = os.path.join(root, "bare")
+    t.limit(5).write.parquet(bare)
+    assert read_transcripts(spark, bare).count() == 5
+    with pytest.raises(ValueError):
+        read_transcripts(spark, bare, snapshot_id=1)
