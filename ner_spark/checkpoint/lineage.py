@@ -202,10 +202,12 @@ def commit_stage(
 
     # Snapshot manifest LAST — it must only ever describe a fully
     # committed table state (S2's snapshot-pinned read contract,
-    # checkpoint/snapshots.py).
+    # checkpoint/snapshots.py).  Passing the written-bucket set makes
+    # the manifest incremental: untouched buckets inherit the parent
+    # manifest's files instead of rescanning the directory.
     from ner_spark.checkpoint.snapshots import record_snapshot
 
-    record_snapshot(root, stage, n_buckets)
+    record_snapshot(root, stage, n_buckets, written_buckets=valid - done)
 
     return spark.read.parquet(data_dir).drop("part")
 

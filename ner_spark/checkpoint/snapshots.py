@@ -43,16 +43,38 @@ def _snap_dir(root: str, stage: str) -> str:
     return os.path.join(root, SNAP_TABLE, stage)
 
 
-def _data_files(data_dir: str) -> dict[str, int]:
+def _data_files(
+    data_dir: str, buckets: set[int] | None = None
+) -> dict[str, int]:
     """relative path → size for every parquet part file currently in
-    the stage directory (hive ``part=k`` layout)."""
+    the stage directory (hive ``part=k`` layout), optionally
+    restricted to the given bucket ids."""
     out: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(data_dir):
+        rel_dir = os.path.relpath(dirpath, data_dir)
+        if buckets is not None:
+            if not rel_dir.startswith("part="):
+                continue
+            try:
+                if int(rel_dir.split("=", 1)[1]) not in buckets:
+                    continue
+            except ValueError:
+                continue
         for fn in files:
             if fn.endswith(".parquet"):
                 full = os.path.join(dirpath, fn)
                 out[os.path.relpath(full, data_dir)] = os.path.getsize(full)
     return out
+
+
+def _bucket_of(rel: str) -> int | None:
+    head = rel.split(os.sep, 1)[0]
+    if head.startswith("part="):
+        try:
+            return int(head.split("=", 1)[1])
+        except ValueError:
+            return None
+    return None
 
 
 def snapshots(root: str, stage: str) -> list[dict]:
@@ -68,20 +90,49 @@ def snapshots(root: str, stage: str) -> list[dict]:
     return sorted(recs, key=lambda r: r["snapshot_id"])
 
 
-def record_snapshot(root: str, stage: str, n_buckets: int) -> int:
-    """Append a manifest naming the stage's current fileset; returns
-    the new snapshot id.  Called at the end of commit_stage — after
-    the lineage rows, so a snapshot only ever describes a fully
-    committed table state."""
+def record_snapshot(
+    root: str,
+    stage: str,
+    n_buckets: int,
+    written_buckets: set[int] | None = None,
+) -> int:
+    """Append a manifest naming the committed fileset; returns the new
+    snapshot id.  Called at the end of commit_stage — after the
+    lineage rows, so a snapshot only ever describes a fully committed
+    table state.
+
+    Incremental like an Iceberg manifest list: buckets this commit did
+    NOT write inherit their file lists from the PARENT manifest (never
+    a directory rescan — a stray file dropped into a committed bucket
+    between commits must not launder itself into the next snapshot);
+    only the freshly written buckets are scanned.  A full scan happens
+    only with no usable parent (first commit, or a bucket-domain
+    change, which invalidates every prior bucket anyway)."""
     data_dir = os.path.join(root, stage)
     prior = snapshots(root, stage)
-    snap_id = prior[-1]["snapshot_id"] + 1 if prior else 1
+    parent = prior[-1] if prior else None
+    snap_id = parent["snapshot_id"] + 1 if parent else 1
+    if (
+        written_buckets is not None
+        and parent is not None
+        and parent["n_buckets"] == n_buckets
+    ):
+        files = {
+            rel: size
+            for rel, size in parent["files"].items()
+            if (b := _bucket_of(rel)) is not None
+            and b not in written_buckets
+            and b < n_buckets
+        }
+        files.update(_data_files(data_dir, buckets=written_buckets))
+    else:
+        files = _data_files(data_dir)
     rec = {
         "snapshot_id": snap_id,
-        "parent_id": prior[-1]["snapshot_id"] if prior else None,
+        "parent_id": parent["snapshot_id"] if parent else None,
         "stage": stage,
         "n_buckets": n_buckets,
-        "files": _data_files(data_dir),
+        "files": files,
         "committed_at": time.time(),
     }
     d = _snap_dir(root, stage)
@@ -137,3 +188,90 @@ def read_snapshot(
     # directory read the un-pinned fallback does — so resume-side
     # partition pruning on `part` still applies to pinned reads.
     return spark.read.option("basePath", data_dir).parquet(*paths)
+
+
+def snapshot_contract_violations(spark: SparkSession) -> int:
+    """Run the snapshot-pinning scenario in a scratch dir and count
+    failed expectations (0 = the S2 fallback semantics hold) — the
+    probe behind the ``kg_contracts`` catalog query's
+    ``snapshot_pinning`` row:
+
+    1. a partial commit yields snapshot 1; its pinned read returns
+       exactly the partial rows;
+    2. a stray parquet file planted in a committed bucket inflates a
+       plain directory read but is INVISIBLE to the snapshot read;
+    3. a resumed commit (filling the missing buckets) yields snapshot
+       2 — which must NOT inherit the stray file (incremental
+       manifests, not directory rescans) — while snapshot 1 still
+       reads its original partial rows (time travel);
+    4. a full overwrite expires snapshots 1 and 2
+       (SnapshotExpiredError), and the new latest reads the full
+       table.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ner_spark.checkpoint.lineage import commit_stage, with_bucket
+
+    tmp = tempfile.mkdtemp(prefix="ner_spark_snapcheck_")
+    try:
+        df = spark.range(200).select(
+            F.concat(F.lit("c"), (F.col("id") % 40).cast("string")).alias(
+                "conv_id"
+            ),
+            (F.col("id") / 40).cast("int").alias("turn_idx"),
+            F.col("id").alias("val"),
+        )
+        part = (
+            with_bucket(df, 8)
+            .filter(F.col("part") < 4)
+            .drop("part")
+        )
+        n_part, n_full = part.count(), df.count()
+
+        commit_stage(part, tmp, "s1", n_buckets=8)
+        ok_pin1 = read_snapshot(spark, tmp, "s1", 1).count() == n_part
+
+        data_dir = os.path.join(tmp, "s1")
+        pdir = next(
+            os.path.join(data_dir, d)
+            for d in sorted(os.listdir(data_dir))
+            if d.startswith("part=")
+        )
+        src = next(
+            f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(pdir, src), os.path.join(pdir, "stray-" + src)
+        )
+        ok_atomic = (
+            spark.read.parquet(data_dir).count() > n_part
+            and read_snapshot(spark, tmp, "s1").count() == n_part
+        )
+
+        commit_stage(df, tmp, "s1", n_buckets=8)
+        ok_no_launder = read_snapshot(spark, tmp, "s1").count() == n_full
+        ok_travel = read_snapshot(spark, tmp, "s1", 1).count() == n_part
+
+        commit_stage(df, tmp, "s1", n_buckets=8, resume=False)
+        ok_latest = read_snapshot(spark, tmp, "s1").count() == n_full
+        try:
+            read_snapshot(spark, tmp, "s1", 2)
+            ok_expire = False
+        except SnapshotExpiredError:
+            ok_expire = True
+        return sum(
+            0 if ok else 1
+            for ok in (
+                ok_pin1,
+                ok_atomic,
+                ok_no_launder,
+                ok_travel,
+                ok_latest,
+                ok_expire,
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -302,6 +302,7 @@ _KG_CONTRACTS = [
     "entity_conservation",
     "edge_conservation",
     "lineage_resume",
+    "snapshot_pinning",
 ]
 
 _KG_CONTRACTS_SQL = " UNION ALL ".join(
@@ -347,7 +348,11 @@ def kg_contracts(spark, sf_dir):
       triple maps to exactly one entity-level edge;
     - ``lineage_resume``: the commit → corrupt → detect → resume →
       revalidate scenario behaves end-to-end in a scratch dir
-      (checkpoint/lineage.resume_contract_violations).
+      (checkpoint/lineage.resume_contract_violations);
+    - ``snapshot_pinning``: the S2 snapshot-read semantics hold end-to
+      -end — pinned read, stray-file atomicity, no-launder on resume,
+      time travel, expiry detection
+      (checkpoint/snapshots.snapshot_contract_violations).
     """
     from ner_spark.kg.linking import match_edges
 
@@ -389,8 +394,13 @@ def kg_contracts(spark, sf_dir):
     edge_cons = _gap("edge_conservation", edge_conservation_gap(st["edges"], triples))
     from ner_spark.checkpoint.lineage import resume_contract_violations
 
+    from ner_spark.checkpoint.snapshots import snapshot_contract_violations
+
     lineage = spark.createDataFrame(
-        [("lineage_resume", resume_contract_violations(spark))],
+        [
+            ("lineage_resume", resume_contract_violations(spark)),
+            ("snapshot_pinning", snapshot_contract_violations(spark)),
+        ],
         "contract string, violations long",
     )
     out = byte_exact

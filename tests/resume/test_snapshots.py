@@ -108,3 +108,35 @@ def test_read_transcripts_honors_snapshot_log(spark, tmp_path):
     assert read_transcripts(spark, bare).count() == 5
     with pytest.raises(ValueError):
         read_transcripts(spark, bare, snapshot_id=1)
+
+
+def test_stray_file_cannot_launder_into_next_snapshot(spark, tmp_path):
+    """Manifests are incremental: a resume commit inherits untouched
+    buckets' file lists from the PARENT manifest, so a stray file
+    planted between commits never enters any snapshot."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 24)
+    commit_stage(_slice(t, {0, 1}), root, "turns", n_buckets=N_BUCKETS)
+    n1 = read_snapshot(spark, root, "turns", 1).count()
+
+    data_dir = os.path.join(root, "turns")
+    pdir = next(
+        os.path.join(data_dir, d)
+        for d in sorted(os.listdir(data_dir))
+        if d.startswith("part=")
+    )
+    src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(pdir, src), os.path.join(pdir, "stray-" + src))
+
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)  # resume fill
+    assert read_snapshot(spark, root, "turns").count() == t.count()
+    assert read_snapshot(spark, root, "turns", 1).count() == n1
+    # the raw dir still has the stray (we never clean committed
+    # buckets on resume) -- only the manifests exclude it
+    assert spark.read.parquet(data_dir).count() > t.count()
+
+
+def test_snapshot_contract_scenario_is_clean(spark):
+    from ner_spark.checkpoint.snapshots import snapshot_contract_violations
+
+    assert snapshot_contract_violations(spark) == 0

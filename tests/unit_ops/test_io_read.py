@@ -11,14 +11,22 @@ from ner_spark.io.read import read_transcripts
 
 
 def test_read_transcripts_iceberg_branch_falls_back(spark, tmp_path):
+    import pytest
+
     p = str(tmp_path / "transcripts_tbl")
     t = transcripts_df(spark, 10)
     t.write.parquet(p)
     spark.conf.set("spark.sql.catalog.spark_catalog", "mock.IcebergCatalog")
     try:
-        got = read_transcripts(spark, p, snapshot_id=123)
+        got = read_transcripts(spark, p)  # un-pinned: plain fallback
         assert got.count() == t.count()
         assert set(got.columns) == set(t.columns)
+        # a PINNED read over a bare dir (no snapshot log) must raise,
+        # never silently return un-pinned rows (checkpoint/snapshots
+        # honors the pin when the path was written by commit_stage —
+        # tests/resume/test_snapshots.py)
+        with pytest.raises(ValueError, match="no snapshot log"):
+            read_transcripts(spark, p, snapshot_id=123)
     finally:
         spark.conf.unset("spark.sql.catalog.spark_catalog")
 
