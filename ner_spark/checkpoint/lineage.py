@@ -207,7 +207,13 @@ def commit_stage(
     # manifest's files instead of rescanning the directory.
     from ner_spark.checkpoint.snapshots import record_snapshot
 
-    record_snapshot(root, stage, n_buckets, written_buckets=valid - done)
+    record_snapshot(
+        root,
+        stage,
+        n_buckets,
+        written_buckets=valid - done,
+        schema_json=bucketed.schema.json(),
+    )
 
     return spark.read.parquet(data_dir).drop("part")
 

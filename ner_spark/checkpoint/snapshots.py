@@ -12,10 +12,10 @@ JSON manifest log beside the data:
   re-reads an older table state for as long as its files survive;
 - **expiry detection** — the parquet fallback's partition overwrite
   REPLACES files (unlike Iceberg's copy-on-write), so a pinned
-  snapshot whose files are gone raises :class:`SnapshotExpiredError`
-  instead of silently returning wrong rows — the same observable
-  failure as reading an expired Iceberg snapshot after
-  ``expire_snapshots``.
+  snapshot whose files are gone — or whose sizes changed (in-place
+  rewrite/truncation) — raises :class:`SnapshotExpiredError` instead
+  of silently returning wrong rows — the same observable failure as
+  reading an expired Iceberg snapshot after ``expire_snapshots``.
 
 Manifests are tiny (file names + sizes), written with tmp+rename (the
 same atomic-commit point as lineage rows), and are append-only: one
@@ -77,8 +77,38 @@ def _bucket_of(rel: str) -> int | None:
     return None
 
 
+def _manifest_path(root: str, stage: str, snap_id: int) -> str:
+    return os.path.join(_snap_dir(root, stage), f"snap-{snap_id:08d}.json")
+
+
+def _load(root: str, stage: str, snap_id: int) -> dict | None:
+    path = _manifest_path(root, stage, snap_id)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _latest(root: str, stage: str) -> dict | None:
+    """The newest manifest — reads ONE file (ids are zero-padded, so
+    the lexically-greatest name is the newest), not the whole history."""
+    d = _snap_dir(root, stage)
+    if not os.path.isdir(d):
+        return None
+    names = [
+        fn
+        for fn in os.listdir(d)
+        if fn.startswith("snap-") and fn.endswith(".json")
+    ]
+    if not names:
+        return None
+    with open(os.path.join(d, max(names))) as f:
+        return json.load(f)
+
+
 def snapshots(root: str, stage: str) -> list[dict]:
-    """All snapshot manifests for a stage, oldest first."""
+    """All snapshot manifests for a stage, oldest first (history
+    listing — commits and reads use _latest/_load, one file each)."""
     d = _snap_dir(root, stage)
     if not os.path.isdir(d):
         return []
@@ -95,49 +125,73 @@ def record_snapshot(
     stage: str,
     n_buckets: int,
     written_buckets: set[int] | None = None,
+    schema_json: str | None = None,
 ) -> int:
-    """Append a manifest naming the committed fileset; returns the new
-    snapshot id.  Called at the end of commit_stage — after the
-    lineage rows, so a snapshot only ever describes a fully committed
-    table state.
+    """Append a manifest naming the committed fileset; returns the
+    snapshot id (the PARENT's id when nothing changed — a no-op commit
+    creates no snapshot, like Iceberg).  Called at the end of
+    commit_stage, after the lineage rows.
 
-    Incremental like an Iceberg manifest list: buckets this commit did
-    NOT write inherit their file lists from the PARENT manifest (never
-    a directory rescan — a stray file dropped into a committed bucket
-    between commits must not launder itself into the next snapshot);
-    only the freshly written buckets are scanned.  A full scan happens
-    only with no usable parent (first commit, or a bucket-domain
-    change, which invalidates every prior bucket anyway)."""
+    Coverage comes from LINEAGE, not from this run's write set: the
+    manifest names files for every bucket with a committed lineage row,
+    so a prior run that crashed between its lineage writes and its
+    manifest write cannot silently drop those buckets from history —
+    they are simply re-scanned here.  Within that coverage the manifest
+    is incremental like an Iceberg manifest list: buckets this commit
+    did not write inherit their file lists from the PARENT manifest
+    (never a directory rescan — a stray file dropped into a committed
+    bucket between commits must not launder itself into the next
+    snapshot); only freshly written / parent-uncovered buckets are
+    scanned, and every scan is restricted to ``part=`` dirs.  Residual
+    race (documented): a stray file landing inside a bucket BETWEEN
+    this commit's write and its scan is indistinguishable from written
+    data — closing it needs writer-reported file lists, which is what
+    the real Iceberg commit path provides."""
+    from ner_spark.checkpoint.lineage import committed_buckets
+
     data_dir = os.path.join(root, stage)
-    prior = snapshots(root, stage)
-    parent = prior[-1] if prior else None
-    snap_id = parent["snapshot_id"] + 1 if parent else 1
-    if (
-        written_buckets is not None
-        and parent is not None
+    parent = _latest(root, stage)
+    valid = set(range(n_buckets))
+    committed = valid & set(
+        committed_buckets(None, root, stage, n_buckets=n_buckets)
+    )
+    inherit_ok = (
+        parent is not None
         and parent["n_buckets"] == n_buckets
+        and written_buckets is not None
+    )
+    files: dict[str, int] = {}
+    scan = set(committed)
+    if inherit_ok:
+        parent_by_bucket: dict[int, dict[str, int]] = {}
+        for rel, size in parent["files"].items():
+            b = _bucket_of(rel)
+            if b is not None:
+                parent_by_bucket.setdefault(b, {})[rel] = size
+        for b in committed - set(written_buckets):
+            if b in parent_by_bucket:
+                files.update(parent_by_bucket[b])
+                scan.discard(b)
+    files.update(_data_files(data_dir, buckets=scan))
+    if (
+        parent is not None
+        and parent["n_buckets"] == n_buckets
+        and parent["files"] == files
     ):
-        files = {
-            rel: size
-            for rel, size in parent["files"].items()
-            if (b := _bucket_of(rel)) is not None
-            and b not in written_buckets
-            and b < n_buckets
-        }
-        files.update(_data_files(data_dir, buckets=written_buckets))
-    else:
-        files = _data_files(data_dir)
+        return parent["snapshot_id"]  # no-op commit: no new snapshot
+    snap_id = parent["snapshot_id"] + 1 if parent else 1
     rec = {
         "snapshot_id": snap_id,
         "parent_id": parent["snapshot_id"] if parent else None,
         "stage": stage,
         "n_buckets": n_buckets,
         "files": files,
+        "schema": schema_json,
         "committed_at": time.time(),
     }
     d = _snap_dir(root, stage)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"snap-{snap_id:08d}.json")
+    path = _manifest_path(root, stage, snap_id)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -154,36 +208,47 @@ def read_snapshot(
     """Read a stage AS OF a snapshot (latest when ``snapshot_id`` is
     None): exactly the manifest's files — concurrent writers' new or
     torn files are invisible.  Raises SnapshotExpiredError when any
-    pinned file no longer exists (overwritten bucket), ValueError for
-    an unknown id or an empty log."""
-    recs = snapshots(root, stage)
-    if not recs:
-        raise ValueError(f"no snapshots recorded for stage {stage!r}")
+    pinned file no longer exists OR changed size (overwritten bucket /
+    in-place tamper), ValueError for an unknown id or an empty log."""
     if snapshot_id is None:
-        rec = recs[-1]
+        rec = _latest(root, stage)
+        if rec is None:
+            raise ValueError(f"no snapshots recorded for stage {stage!r}")
     else:
-        byid = {r["snapshot_id"]: r for r in recs}
-        if snapshot_id not in byid:
+        rec = _load(root, stage, snapshot_id)
+        if rec is None:
             raise ValueError(
-                f"unknown snapshot {snapshot_id} for stage {stage!r} "
-                f"(have {sorted(byid)})"
+                f"unknown snapshot {snapshot_id} for stage {stage!r}"
             )
-        rec = byid[snapshot_id]
     data_dir = os.path.join(root, stage)
-    paths = [os.path.join(data_dir, rel) for rel in sorted(rec["files"])]
-    missing = [p for p in paths if not os.path.isfile(p)]
-    if missing:
+    stale = [
+        rel
+        for rel, size in rec["files"].items()
+        if not os.path.isfile(os.path.join(data_dir, rel))
+        or os.path.getsize(os.path.join(data_dir, rel)) != size
+    ]
+    if stale:
         raise SnapshotExpiredError(
             f"snapshot {rec['snapshot_id']} of stage {stage!r} expired: "
-            f"{len(missing)} of {len(paths)} files were overwritten "
-            f"(parquet fallback overwrites in place; Iceberg would "
-            f"retain them until expire_snapshots)"
+            f"{len(stale)} of {len(rec['files'])} files were overwritten "
+            f"or resized in place (parquet fallback overwrites; Iceberg "
+            f"would retain them until expire_snapshots)"
         )
+    paths = [os.path.join(data_dir, rel) for rel in sorted(rec["files"])]
     if not paths:
-        # an empty commit: no files, nothing to pin
-        from ner_spark.io.read import TRANSCRIPT_SCHEMA
+        # an empty commit: no files to pin — reconstruct the schema the
+        # manifest recorded at commit time (includes the `part` column,
+        # matching what a non-empty basePath read surfaces)
+        if not rec.get("schema"):
+            raise ValueError(
+                f"snapshot {rec['snapshot_id']} of stage {stage!r} is "
+                "empty and recorded no schema"
+            )
+        from pyspark.sql import types as T
 
-        return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(rec["schema"]))
+        )
     # basePath keeps the hive `part=` column, exactly like the plain
     # directory read the un-pinned fallback does — so resume-side
     # partition pruning on `part` still applies to pinned reads.

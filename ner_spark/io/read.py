@@ -72,9 +72,21 @@ def read_transcripts(
             read_snapshot,
         )
 
-        root, stage = os.path.split(os.path.normpath(path))
-        if os.path.isdir(os.path.join(root, SNAP_TABLE, stage)):
-            return read_snapshot(spark, root, stage, snapshot_id)
+        # Stage names may be nested (streaming commits e.g.
+        # 'stream_tagged/batch=3'): try every root/stage split, deepest
+        # root first, so the snapshot log is found wherever
+        # commit_stage put it (root/_snapshots/<full stage path>).
+        norm = os.path.normpath(path)
+        parts = norm.split(os.sep)
+        for i in range(len(parts) - 1, 0, -1):
+            cand_root = os.sep.join(parts[:i]) or os.sep
+            cand_stage = os.sep.join(parts[i:])
+            if os.path.isdir(
+                os.path.join(cand_root, SNAP_TABLE, cand_stage)
+            ):
+                return read_snapshot(
+                    spark, cand_root, cand_stage, snapshot_id
+                )
         if snapshot_id is not None:
             raise ValueError(
                 f"snapshot_id={snapshot_id} requested but {path!r} has "

@@ -140,3 +140,62 @@ def test_snapshot_contract_scenario_is_clean(spark):
     from ner_spark.checkpoint.snapshots import snapshot_contract_violations
 
     assert snapshot_contract_violations(spark) == 0
+
+
+def test_manifest_covers_lineage_after_crashed_manifest_write(
+    spark, tmp_path
+):
+    """Coverage comes from lineage, not the writer's memory: a run
+    that crashed AFTER its lineage rows but BEFORE its manifest write
+    leaves committed buckets with no parent-manifest coverage -- the
+    next commit must re-scan (not drop) them."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 24)
+    commit_stage(_slice(t, {0, 1}), root, "turns", n_buckets=N_BUCKETS)
+    commit_stage(_slice(t, {0, 1, 2}), root, "turns", n_buckets=N_BUCKETS)
+    # simulate the crash: bucket 2's lineage is committed but its
+    # manifest never landed
+    snap_dir = os.path.join(root, "_snapshots", "turns")
+    newest = max(f for f in os.listdir(snap_dir) if f.endswith(".json"))
+    os.remove(os.path.join(snap_dir, newest))
+
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)  # writes only {3}
+    assert read_snapshot(spark, root, "turns").count() == t.count()
+
+
+def test_noop_commit_creates_no_snapshot(spark, tmp_path):
+    root = str(tmp_path)
+    t = transcripts_df(spark, 12)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    n_hist = len(snapshots(root, "turns"))
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)  # fully resumed
+    assert len(snapshots(root, "turns")) == n_hist  # no new manifest
+
+
+def test_in_place_size_change_expires_snapshot(spark, tmp_path):
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    data_dir = os.path.join(root, "turns")
+    pdir = next(
+        os.path.join(data_dir, d)
+        for d in sorted(os.listdir(data_dir))
+        if d.startswith("part=")
+    )
+    victim = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    with open(os.path.join(pdir, victim), "ab") as f:
+        f.write(b"tamper")
+    with pytest.raises(SnapshotExpiredError):
+        read_snapshot(spark, root, "turns")
+
+
+def test_nested_stage_snapshot_read(spark, tmp_path):
+    """Streaming commits nested stage names (stream_tagged/batch=N);
+    the read_transcripts fallback must find their snapshot logs."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "stream_tagged/batch=3", n_buckets=N_BUCKETS)
+    path = os.path.join(root, "stream_tagged", "batch=3")
+    assert (
+        read_transcripts(spark, path, snapshot_id=1).count() == t.count()
+    )
