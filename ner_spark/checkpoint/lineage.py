@@ -46,11 +46,13 @@ def _lineage_dir(root: str, stage: str) -> str:
 
 
 def committed_buckets(
-    spark: SparkSession,
+    spark: SparkSession | None,
     root: str,
     stage: str,
     n_buckets: int | None = None,
 ) -> list[int]:
+    # pure filesystem scan — ``spark`` is accepted (and ignorable,
+    # pass None) for interface symmetry with the other readers
     """Bucket ids with a committed lineage row.  When ``n_buckets`` is
     given, only rows committed UNDER THAT SAME bucket domain count: a
     bucket written at a different n_buckets holds different rows for
