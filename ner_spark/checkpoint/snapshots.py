@@ -89,20 +89,31 @@ def _load(root: str, stage: str, snap_id: int) -> dict | None:
         return json.load(f)
 
 
-def _latest(root: str, stage: str) -> dict | None:
-    """The newest manifest — reads ONE file (ids are zero-padded, so
-    the lexically-greatest name is the newest), not the whole history."""
+def _manifest_names(root: str, stage: str) -> list[str]:
     d = _snap_dir(root, stage)
     if not os.path.isdir(d):
-        return None
-    names = [
+        return []
+    return sorted(
         fn
         for fn in os.listdir(d)
         if fn.startswith("snap-") and fn.endswith(".json")
-    ]
+    )
+
+
+def has_snapshot_log(root: str, stage: str) -> bool:
+    """True iff at least one manifest exists — a bare `_snapshots/…`
+    INTERMEDIATE directory (created for a nested child stage like
+    `stream_tagged/batch=3`) is NOT a log for its parent path."""
+    return bool(_manifest_names(root, stage))
+
+
+def _latest(root: str, stage: str) -> dict | None:
+    """The newest manifest — reads ONE file (ids are zero-padded, so
+    the lexically-greatest name is the newest), not the whole history."""
+    names = _manifest_names(root, stage)
     if not names:
         return None
-    with open(os.path.join(d, max(names))) as f:
+    with open(os.path.join(_snap_dir(root, stage), names[-1])) as f:
         return json.load(f)
 
 
@@ -217,16 +228,28 @@ def read_snapshot(
     else:
         rec = _load(root, stage, snapshot_id)
         if rec is None:
+            have = [
+                int(n[len("snap-") : -len(".json")])
+                for n in _manifest_names(root, stage)
+            ]
             raise ValueError(
-                f"unknown snapshot {snapshot_id} for stage {stage!r}"
+                f"unknown snapshot {snapshot_id} for stage {stage!r} "
+                f"(have {have})"
             )
-    data_dir = os.path.join(root, stage)
-    stale = [
-        rel
-        for rel, size in rec["files"].items()
-        if not os.path.isfile(os.path.join(data_dir, rel))
-        or os.path.getsize(os.path.join(data_dir, rel)) != size
-    ]
+    # absolute: the manifest was located with Python-side os.path
+    # checks (Python cwd), but Spark resolves relative read paths
+    # against the driver JVM's own cwd — which can differ
+    data_dir = os.path.abspath(os.path.join(root, stage))
+    stale = []
+    for rel, size in rec["files"].items():
+        # single stat per file, tolerant of a concurrent overwrite
+        # unlinking between check and use — either way it's expiry,
+        # never an unhandled FileNotFoundError
+        try:
+            if os.stat(os.path.join(data_dir, rel)).st_size != size:
+                stale.append(rel)
+        except OSError:
+            stale.append(rel)
     if stale:
         raise SnapshotExpiredError(
             f"snapshot {rec['snapshot_id']} of stage {stage!r} expired: "
@@ -238,17 +261,18 @@ def read_snapshot(
     if not paths:
         # an empty commit: no files to pin — reconstruct the schema the
         # manifest recorded at commit time (includes the `part` column,
-        # matching what a non-empty basePath read surfaces)
-        if not rec.get("schema"):
-            raise ValueError(
-                f"snapshot {rec['snapshot_id']} of stage {stage!r} is "
-                "empty and recorded no schema"
-            )
+        # matching what a non-empty basePath read surfaces).  Manifests
+        # written before the schema field existed fall back to the
+        # transcripts shape (the only stage shape back then).
         from pyspark.sql import types as T
 
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(rec["schema"]))
-        )
+        if rec.get("schema"):
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(rec["schema"]))
+            )
+        from ner_spark.io.read import TRANSCRIPT_SCHEMA
+
+        return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
     # basePath keeps the hive `part=` column, exactly like the plain
     # directory read the un-pinned fallback does — so resume-side
     # partition pruning on `part` still applies to pinned reads.

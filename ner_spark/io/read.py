@@ -68,22 +68,28 @@ def read_transcripts(
         import os
 
         from ner_spark.checkpoint.snapshots import (
-            SNAP_TABLE,
+            has_snapshot_log,
             read_snapshot,
         )
 
         # Stage names may be nested (streaming commits e.g.
         # 'stream_tagged/batch=3'): try every root/stage split, deepest
         # root first, so the snapshot log is found wherever
-        # commit_stage put it (root/_snapshots/<full stage path>).
+        # commit_stage put it (root/_snapshots/<full stage path>).  A
+        # split only matches when a MANIFEST exists there — a bare
+        # intermediate `_snapshots/...` dir created for a nested child
+        # stage is not a log for its parent path.  Relative paths get
+        # the cwd-rooted split too (root = "").
         norm = os.path.normpath(path)
         parts = norm.split(os.sep)
-        for i in range(len(parts) - 1, 0, -1):
-            cand_root = os.sep.join(parts[:i]) or os.sep
-            cand_stage = os.sep.join(parts[i:])
-            if os.path.isdir(
-                os.path.join(cand_root, SNAP_TABLE, cand_stage)
-            ):
+        splits = [
+            (os.sep.join(parts[:i]) or os.sep, os.sep.join(parts[i:]))
+            for i in range(len(parts) - 1, 0, -1)
+        ]
+        if not os.path.isabs(norm):
+            splits.append(("", norm))
+        for cand_root, cand_stage in splits:
+            if has_snapshot_log(cand_root, cand_stage):
                 return read_snapshot(
                     spark, cand_root, cand_stage, snapshot_id
                 )

@@ -199,3 +199,31 @@ def test_nested_stage_snapshot_read(spark, tmp_path):
     assert (
         read_transcripts(spark, path, snapshot_id=1).count() == t.count()
     )
+
+
+def test_parent_of_nested_stage_is_not_a_snapshot_log(spark, tmp_path):
+    """root/_snapshots/stream_tagged/ exists only as an INTERMEDIATE
+    dir for the batch=N child logs -- an un-pinned read of the parent
+    path must fall through to the plain directory read (union of all
+    batches), and a pinned one must raise, not claim an empty log."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "stream_tagged/batch=0", n_buckets=N_BUCKETS)
+    commit_stage(t, root, "stream_tagged/batch=1", n_buckets=N_BUCKETS)
+    parent = os.path.join(root, "stream_tagged")
+    got = read_transcripts(spark, parent)
+    assert got.count() == 2 * t.count()  # plain union-of-batches read
+    with pytest.raises(ValueError, match="no snapshot log"):
+        read_transcripts(spark, parent, snapshot_id=1)
+
+
+def test_relative_path_snapshot_read(spark, tmp_path, monkeypatch):
+    """A cwd-relative single-segment path (the shape a CLI --input
+    gives) still finds its snapshot log."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    monkeypatch.chdir(root)
+    assert read_transcripts(spark, "turns", snapshot_id=1).count() == (
+        t.count()
+    )
