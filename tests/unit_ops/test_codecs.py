@@ -145,3 +145,70 @@ def test_non_wave_riff_is_not_dispatched_as_audio():
     avi = b"RIFF" + b"\x00\x00\x00\x24" + b"AVI " + b"\x00" * 16
     with pytest.raises(NotImplementedError):
         decode_real(avi, "video")
+
+
+# -- property-based roundtrips (hypothesis, same style as
+#    tests/tagger/test_decode.py) -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([None, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    a = _img(h, w, ch, seed=seed)
+    assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 512),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n).astype("<i2")
+    got, got_rate = decode_wav(encode_wav(samples, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_nsvc_roundtrip_property(n_frames, h, w, seed):
+    frames = [_img(h, w, 3, seed=seed + i) for i in range(n_frames)]
+    blob = encode_video(frames)
+    assert video_n_frames(blob) == n_frames
+    for i, f in enumerate(frames):
+        assert np.array_equal(decode_frame(blob, i), f)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    oh=st.integers(1, 16),
+    ow=st.integers(1, 16),
+)
+def test_resize_nearest_property(h, w, oh, ow):
+    """Output shape is exact, every output pixel exists in the input
+    at the floor(i*in/out) index, and upscale-then-check stays pure
+    integer indexing (no interpolation artifacts)."""
+    a = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    got = resize_nearest(a, ow, oh)
+    assert got.shape == (oh, ow)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    assert np.array_equal(got, a[ys][:, xs])
