@@ -21,9 +21,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ner_spark.ops.textops import lsh_candidate_pairs, minhash_signatures
+from ner_spark.ops.textops import (
+    N_BANDS,
+    band_hash,
+    lsh_candidate_pairs,
+    minhash_est_jaccard,
+    minhash_signatures,
+)
 
 SIM_THRESHOLD = 0.55
+
+# Vocabulary size below which match_edges runs the single broadcast
+# self-join path instead of the banding explode/join/distinct/rejoin
+# machinery (same dispatch idea as kg/cc.py's union-find threshold).
+# The direct path evaluates the SAME band-hash collision predicate
+# pairwise, so the edge set and sim values are identical — it just
+# trades O(|label block|²) pair evaluations (cheap JVM expressions)
+# for ~5 fewer shuffle stages, which dominates wall clock until the
+# vocabulary is far beyond any fixture.  At web scale (10⁸+ distinct
+# surfaces) the banding join is the only viable shape and the
+# dispatch picks it automatically.
+DIRECT_LINK_MAX = 100_000
 
 
 def surface_nodes(mentions: DataFrame) -> DataFrame:
@@ -61,8 +79,85 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
     )
 
 
-def match_edges(nodes: DataFrame, threshold: float = SIM_THRESHOLD) -> DataFrame:
-    """(node_a, node_b, sim) scored above threshold."""
+def _node_sigs(nodes: DataFrame) -> DataFrame:
+    """(node_id, surface, label, sig): the vocabulary with its MinHash
+    signatures attached — the shared front half of both match paths."""
+    docs = nodes.select(
+        F.col("node_id").alias("doc_id"),
+        F.concat(F.col("label"), F.lit(":"), F.col("surface")).alias("text"),
+    )
+    sigs = minhash_signatures(docs, k=2, balance=False)
+    return nodes.join(
+        sigs, nodes.node_id == sigs.doc_id
+    ).select("node_id", "surface", "label", "sig")
+
+
+def _score(est, lev_a_surface, lev_b_surface):
+    lev = F.levenshtein(lev_a_surface, lev_b_surface)
+    maxlen = F.greatest(F.length(lev_a_surface), F.length(lev_b_surface))
+    return 0.4 * est + 0.4 * (1.0 - lev.cast("double") / maxlen) + F.lit(0.2)
+
+
+def match_edges_direct(
+    nodes: DataFrame, threshold: float = SIM_THRESHOLD
+) -> DataFrame:
+    """Small-vocabulary path: ONE broadcast self-join over the
+    signature-enriched vocabulary, with the banding candidate rule
+    (∃ band: band_hash_a == band_hash_b — the exact bucket key the
+    banding join uses, via the shared textops.band_hash) evaluated
+    pairwise.  Edge set and sim values are identical to the banding
+    path by construction (parity-pinned in tests/kg/test_linking_cc.py)."""
+    from functools import reduce
+    from operator import or_
+
+    e = _node_sigs(nodes)
+    a, b = e.alias("a"), e.alias("b")
+    collide = reduce(
+        or_,
+        [
+            band_hash(F.col("a.sig"), bi).eqNullSafe(
+                band_hash(F.col("b.sig"), bi)
+            )
+            for bi in range(N_BANDS)
+        ],
+    )
+    # round(…, 4) matches lsh_candidate_pairs' emitted est_jaccard
+    # exactly — the parity contract is to the banding path's OUTPUT
+    est = F.round(
+        minhash_est_jaccard(F.col("a.sig"), F.col("b.sig")), 4
+    )
+    sim = _score(est, F.col("a.surface"), F.col("b.surface"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .filter(collide)
+        .select(
+            F.col("a.node_id").alias("node_a"),
+            F.col("b.node_id").alias("node_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def match_edges(
+    nodes: DataFrame,
+    threshold: float = SIM_THRESHOLD,
+    direct: bool | None = None,
+) -> DataFrame:
+    """(node_a, node_b, sim) scored above threshold.  Dispatches on
+    vocabulary size (``direct=None`` counts ``nodes`` — pass a
+    persisted frame, as ops/kg_queries' stage cache does, so the count
+    is a cache read): ≤ DIRECT_LINK_MAX rows take the single
+    broadcast self-join; larger vocabularies take the banding join.
+    Both produce the same edges — see match_edges_direct."""
+    if direct is None:
+        direct = nodes.count() <= DIRECT_LINK_MAX
+    if direct:
+        return match_edges_direct(nodes, threshold)
     cands = candidate_pairs(nodes)
     a = nodes.alias("a")
     b = nodes.alias("b")
@@ -71,12 +166,8 @@ def match_edges(nodes: DataFrame, threshold: float = SIM_THRESHOLD) -> DataFrame
         .join(b, F.col("node_b") == F.col("b.node_id"))
         .filter(F.col("a.label") == F.col("b.label"))
     )
-    lev = F.levenshtein(F.col("a.surface"), F.col("b.surface"))
-    maxlen = F.greatest(F.length("a.surface"), F.length("b.surface"))
-    sim = (
-        0.4 * F.col("est_jaccard")
-        + 0.4 * (1.0 - lev.cast("double") / maxlen)
-        + F.lit(0.2)
+    sim = _score(
+        F.col("est_jaccard"), F.col("a.surface"), F.col("b.surface")
     )
     return joined.select(
         "node_a", "node_b", F.round(sim, 6).alias("sim")

@@ -16,7 +16,9 @@ from ner_spark.kg.linking import match_edges, surface_nodes
 
 
 def entity_assignments(
-    mentions: DataFrame, nodes: DataFrame | None = None
+    mentions: DataFrame,
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(surface, label, node_id, entity_id): every distinct surface
     form mapped to its canonical entity via linking + CC.  Surfaces
@@ -30,10 +32,18 @@ def entity_assignments(
     for every one of those.  The vocabulary is orders of magnitude
     smaller than the mention stream (the module-header scale
     decision), so callers that run several actions should pass a
-    persisted frame (ops/kg_queries does, via its stage cache)."""
+    persisted frame (ops/kg_queries does, via its stage cache).
+
+    ``edges`` (optional): a pre-built — ideally PERSISTED —
+    match-edge frame (linking.match_edges output schema).  CC runs
+    TWO actions over it (branch-dispatch count + the small-graph
+    union-find collect); unpersisted, each re-executes the signature
+    self-join plan, whose codegen dominates at fixture scale."""
     if nodes is None:
         nodes = surface_nodes(mentions)
-    edges = match_edges(nodes).select(
+    if edges is None:
+        edges = match_edges(nodes)
+    edges = edges.select(
         F.col("node_a").alias("src"), F.col("node_b").alias("dst")
     )
     comps = connected_components(edges)

@@ -607,6 +607,25 @@ def minhash_signatures(
     )
 
 
+def band_hash(sig_col, bi: int):
+    """xxhash64 of band ``bi``'s signature slice — THE banding bucket
+    key.  Exported so the pairwise collision predicate
+    (kg/linking.py's direct path) tests exactly the hash the banding
+    join buckets on; the two candidate generators can never drift."""
+    rows = N_PERM // N_BANDS
+    return F.xxhash64(
+        *[F.element_at(sig_col, bi * rows + r + 1) for r in range(rows)]
+    )
+
+
+def minhash_est_jaccard(sig_a, sig_b):
+    """Estimated jaccard = fraction of agreeing signature slots (the
+    same expression the banding path computes after its rejoin)."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda e: e)
+    ).cast("double") / F.lit(N_PERM)
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banding: split the signature into N_BANDS bands, hash each band,
     equi-join docs sharing any (band_idx, band_hash) bucket.  Estimated
@@ -627,7 +646,6 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     the exchanged rows are narrow (doc_id + 64 longs ≈ 520 B), not
     raw documents.  Measured cold at sf0.1: 5.8 s → 1.7 s."""
     sigs = sigs.repartition(F.col("doc_id"))
-    rows = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -635,9 +653,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
-                        ).alias("band_hash"),
+                        band_hash(F.col("sig"), bi).alias("band_hash"),
                     )
                     for bi in range(N_BANDS)
                 ]
@@ -661,12 +677,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(N_PERM)
+    est = minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

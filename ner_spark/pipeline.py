@@ -55,7 +55,7 @@ def run_pipeline(
     if materialize:
         from pyspark import StorageLevel
 
-        from ner_spark.kg.linking import surface_nodes
+        from ner_spark.kg.linking import match_edges, surface_nodes
         from ner_spark.kg.materialize import (
             build_edges,
             build_entities,
@@ -63,14 +63,16 @@ def run_pipeline(
         )
 
         # Vocabulary-scale frames referenced by several linking/CC/
-        # materialize actions — persist both so the linking pipeline
+        # materialize actions — persist them so the linking pipeline
         # executes once (same policy as ops/kg_queries' stage cache;
         # callers release via release_pipeline below).
         nodes = surface_nodes(mentions).persist(StorageLevel.MEMORY_AND_DISK)
         out["nodes"] = nodes
-        assignments = entity_assignments(mentions, nodes=nodes).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        edges = match_edges(nodes).persist(StorageLevel.MEMORY_AND_DISK)
+        out["match_edges"] = edges
+        assignments = entity_assignments(
+            mentions, nodes=nodes, edges=edges
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         out["assignments"] = assignments
         out["entities"] = build_entities(mentions, assignments)
         out["edges"] = build_edges(triples, assignments)
@@ -79,12 +81,12 @@ def run_pipeline(
 
 def release_pipeline(out: dict[str, DataFrame]) -> None:
     """Unpersist every frame ``run_pipeline`` persisted (tagged_turns
-    under materialize=True, plus nodes/assignments).  A long-lived
+    under materialize=True, plus nodes/match_edges/assignments).  A long-lived
     session invoking run_pipeline per batch must release each batch's
     dict or executor storage grows without bound — the same policy the
     catalog's stage cache enforces via _evict_other_keys /
     reset_stage_cache (ops/kg_queries.py)."""
-    for key in ("tagged_turns", "nodes", "assignments"):
+    for key in ("tagged_turns", "nodes", "match_edges", "assignments"):
         df = out.get(key)
         if df is not None and df.is_cached:
             df.unpersist()

@@ -165,3 +165,68 @@ def test_lsh_recall_vs_exact_jaccard(spark, mention_nodes):
     if true_pairs:
         recall = len(true_pairs & got) / len(true_pairs)
         assert recall >= 0.9, (recall, len(true_pairs))
+
+
+def test_match_edges_direct_equals_banding_path(spark):
+    """The size-dispatched direct (broadcast self-join) path must
+    produce EXACTLY the banding path's edges -- same pairs, same sim
+    values -- because it evaluates the same band-hash collision rule
+    pairwise (textops.band_hash) and the same scoring expressions."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.kg.linking import match_edges
+
+    surfaces = [
+        ("Acme Corporation", "ORG"),
+        ("Acme Corporatiom", "ORG"),  # near-dup of the first
+        ("Acme Corp", "ORG"),
+        ("Beta Analytics", "ORG"),
+        ("Beta Analytic", "ORG"),  # near-dup
+        ("Beta Analytics", "PER"),  # same surface, other label: no edge
+        ("Johannes Brahms", "PER"),
+        ("Johannes Brahm", "PER"),  # near-dup
+        ("Clara Schumann", "PER"),
+        ("Vltava", "LOC"),
+        ("Vltava River", "LOC"),
+    ]
+    nodes = spark.createDataFrame(
+        [(s, lb, 1) for s, lb in surfaces],
+        "surface string, label string, n_mentions long",
+    ).withColumn("node_id", F.xxhash64("surface", "label"))
+
+    def edge_set(direct):
+        return {
+            (int(r.node_a), int(r.node_b), float(r.sim))
+            for r in match_edges(nodes, direct=direct).collect()
+        }
+
+    direct, banding = edge_set(True), edge_set(False)
+    assert direct == banding
+    assert len(direct) >= 3  # parity is non-vacuous: near-dups linked
+    # the auto dispatch (11 nodes << DIRECT_LINK_MAX) picks direct
+    auto = {
+        (int(r.node_a), int(r.node_b), float(r.sim))
+        for r in match_edges(nodes).collect()
+    }
+    assert auto == direct
+
+
+def test_match_edges_direct_plan_has_no_banding_fanout(spark):
+    """The direct path must be ONE self-join -- no banding explode
+    (Generate node) and no candidate distinct -- while the banding
+    path keeps them (its scale machinery)."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.kg.linking import match_edges
+
+    nodes = spark.createDataFrame(
+        [("Acme Corp", "ORG", 1), ("Acme Corp.", "ORG", 1)],
+        "surface string, label string, n_mentions long",
+    ).withColumn("node_id", F.xxhash64("surface", "label"))
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    direct_plan = plan(match_edges(nodes, direct=True))
+    banding_plan = plan(match_edges(nodes, direct=False))
+    assert "Generate" not in direct_plan
+    assert "Generate" in banding_plan  # the band explode

@@ -59,12 +59,13 @@ def test_vocabulary_and_assignments_persisted_and_evicted(spark):
     KQ._stages(spark, SF_SMALL, materialize=True)
     st = KQ._STAGES[key]
     assert st["nodes"].storageLevel.useMemory
+    assert st["match_edges"].storageLevel.useMemory
     assert st["assignments"].storageLevel.useMemory
     assert KQ._cached_nodes(spark, SF_SMALL) is st["nodes"]
-    nodes, assigns = st["nodes"], st["assignments"]
+    assert KQ._cached_match_edges(spark, SF_SMALL) is st["match_edges"]
+    frames = [st["nodes"], st["match_edges"], st["assignments"]]
     KQ._evict_other_keys(None)
-    assert not nodes.storageLevel.useMemory
-    assert not assigns.storageLevel.useMemory
+    assert not any(f.storageLevel.useMemory for f in frames)
 
 
 def test_bmes_mentions_cached_once_and_evicted(spark):
@@ -111,7 +112,12 @@ def test_release_pipeline_unpersists_everything(spark):
 
     t = transcripts_for_sf(spark, SF_SMALL, cap=30)
     out = run_pipeline(spark, t, mode="gazetteer", materialize=True)
-    persisted = [out["tagged_turns"], out["nodes"], out["assignments"]]
+    persisted = [
+        out["tagged_turns"],
+        out["nodes"],
+        out["match_edges"],
+        out["assignments"],
+    ]
     assert all(df.is_cached for df in persisted)
     release_pipeline(out)
     assert not any(df.is_cached for df in persisted)
