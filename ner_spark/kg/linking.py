@@ -36,12 +36,15 @@ SIM_THRESHOLD = 0.55
 # machinery (same dispatch idea as kg/cc.py's union-find threshold).
 # The direct path evaluates the SAME band-hash collision predicate
 # pairwise, so the edge set and sim values are identical — it just
-# trades O(|label block|²) pair evaluations (cheap JVM expressions)
-# for ~5 fewer shuffle stages, which dominates wall clock until the
-# vocabulary is far beyond any fixture.  At web scale (10⁸+ distinct
-# surfaces) the banding join is the only viable shape and the
-# dispatch picks it automatically.
-DIRECT_LINK_MAX = 100_000
+# trades O(|label block|²) pair evaluations (cheap JVM array ops over
+# PRE-computed per-node band hashes) for ~5 fewer shuffle stages.
+# Sizing: worst case (one label) is n²/2 pairs, each a 16-slot + a
+# 64-slot array comparison; at 4,096 nodes that is ≤ 8.4M pairs —
+# well under a second vectorized — while at 100k it would be 5×10⁹
+# pairs, far slower than the banding join's shuffles.  The threshold
+# sits an order of magnitude under the crossover; beyond it the
+# banding join engages automatically.
+DIRECT_LINK_MAX = 4096
 
 
 def surface_nodes(mentions: DataFrame) -> DataFrame:
@@ -53,25 +56,31 @@ def surface_nodes(mentions: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(nodes: DataFrame) -> DataFrame:
-    """LSH candidate pairs between same-label surfaces.
+def _vocab_sigs(nodes: DataFrame) -> DataFrame:
+    """(doc_id, sig) MinHash signatures of the vocabulary — the ONE
+    signature construction both candidate generators share (doc_id :=
+    node_id, text := label-prefixed surface), so the direct and
+    banding paths can never drift apart on k / prefix / hash family.
 
-    Reuses the doc-level MinHash machinery with doc_id := node_id and
-    text := label-prefixed surface (prefix keeps blocks label-pure:
-    different-label surfaces never share shingles of their prefix+char
-    stream only if surfaces differ — a cheap trick to piggyback the
-    label into the signature; the explicit label equi-filter after the
-    join makes it exact)."""
+    balance=False: ``nodes`` is a derived post-shuffle plan (groupBy
+    over mentions), already distributed — and _balance's partition
+    probe would EXECUTE the upstream stages under AQE (see
+    textops._balance docstring)."""
     docs = nodes.select(
         F.col("node_id").alias("doc_id"),
         F.concat(F.col("label"), F.lit(":"), F.col("surface")).alias("text"),
     )
-    # balance=False: ``docs`` is a derived post-shuffle plan (groupBy
-    # over mentions), already distributed — and _balance's partition
-    # probe would EXECUTE the upstream stages under AQE (see
-    # textops._balance docstring)
-    sigs = minhash_signatures(docs, k=2, balance=False)
-    pairs = lsh_candidate_pairs(sigs)
+    return minhash_signatures(docs, k=2, balance=False)
+
+
+def candidate_pairs(nodes: DataFrame) -> DataFrame:
+    """LSH candidate pairs between same-label surfaces.
+
+    Reuses the doc-level MinHash machinery via _vocab_sigs (the label
+    prefix keeps blocks label-pure — a cheap trick to piggyback the
+    label into the signature; the explicit label equi-filter after the
+    join makes it exact)."""
+    pairs = lsh_candidate_pairs(_vocab_sigs(nodes))
     return pairs.select(
         F.col("doc_a").alias("node_a"),
         F.col("doc_b").alias("node_b"),
@@ -80,16 +89,29 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
 
 
 def _node_sigs(nodes: DataFrame) -> DataFrame:
-    """(node_id, surface, label, sig): the vocabulary with its MinHash
-    signatures attached — the shared front half of both match paths."""
-    docs = nodes.select(
-        F.col("node_id").alias("doc_id"),
-        F.concat(F.col("label"), F.lit(":"), F.col("surface")).alias("text"),
+    """(node_id, surface, label, sig, bands): the vocabulary with its
+    MinHash signatures AND pre-computed per-band bucket hashes.  Band
+    hashes are computed ONCE PER NODE here (O(n·N_BANDS)) so the
+    pairwise collision test in match_edges_direct is a plain array
+    comparison, not O(pairs·N_BANDS) hash evaluations.  The
+    repartition on node_id is a reuse boundary: both sides of the
+    self-join read ONE materialized shuffle instead of re-running the
+    64-slot signature stage per side (same trick as
+    lsh_candidate_pairs' exchange, textops.py)."""
+    sigs = _vocab_sigs(nodes)
+    return (
+        nodes.join(sigs, nodes.node_id == sigs.doc_id)
+        .select(
+            "node_id",
+            "surface",
+            "label",
+            "sig",
+            F.array(
+                *[band_hash(F.col("sig"), bi) for bi in range(N_BANDS)]
+            ).alias("bands"),
+        )
+        .repartition(F.col("node_id"))
     )
-    sigs = minhash_signatures(docs, k=2, balance=False)
-    return nodes.join(
-        sigs, nodes.node_id == sigs.doc_id
-    ).select("node_id", "surface", "label", "sig")
 
 
 def _score(est, lev_a_surface, lev_b_surface):
@@ -104,22 +126,17 @@ def match_edges_direct(
     """Small-vocabulary path: ONE broadcast self-join over the
     signature-enriched vocabulary, with the banding candidate rule
     (∃ band: band_hash_a == band_hash_b — the exact bucket key the
-    banding join uses, via the shared textops.band_hash) evaluated
-    pairwise.  Edge set and sim values are identical to the banding
-    path by construction (parity-pinned in tests/kg/test_linking_cc.py)."""
-    from functools import reduce
-    from operator import or_
-
+    banding join uses, via the shared textops.band_hash, pre-computed
+    per node in _node_sigs) evaluated pairwise.  Edge set and sim
+    values are identical to the banding path by construction
+    (parity-pinned in tests/kg/test_linking_cc.py)."""
     e = _node_sigs(nodes)
     a, b = e.alias("a"), e.alias("b")
-    collide = reduce(
-        or_,
-        [
-            band_hash(F.col("a.sig"), bi).eqNullSafe(
-                band_hash(F.col("b.sig"), bi)
-            )
-            for bi in range(N_BANDS)
-        ],
+    collide = F.exists(
+        F.zip_with(
+            F.col("a.bands"), F.col("b.bands"), lambda x, y: x == y
+        ),
+        lambda eq: eq,
     )
     # round(…, 4) matches lsh_candidate_pairs' emitted est_jaccard
     # exactly — the parity contract is to the banding path's OUTPUT
@@ -149,12 +166,19 @@ def match_edges(
     direct: bool | None = None,
 ) -> DataFrame:
     """(node_a, node_b, sim) scored above threshold.  Dispatches on
-    vocabulary size (``direct=None`` counts ``nodes`` — pass a
-    persisted frame, as ops/kg_queries' stage cache does, so the count
-    is a cache read): ≤ DIRECT_LINK_MAX rows take the single
-    broadcast self-join; larger vocabularies take the banding join.
-    Both produce the same edges — see match_edges_direct."""
+    vocabulary size: ≤ DIRECT_LINK_MAX rows take the single broadcast
+    self-join; larger vocabularies take the banding join.  Both
+    produce the same edges — see match_edges_direct.
+
+    ``direct=None`` needs a count: the nodes frame is persisted first
+    (idempotent on already-persisted frames — ops/kg_queries' stage
+    cache passes one) so the dispatch materialization also serves the
+    chosen branch, never a second execution of the vocabulary subtree
+    (the same pattern as kg/cc.py's branch decision)."""
     if direct is None:
+        from pyspark import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
         direct = nodes.count() <= DIRECT_LINK_MAX
     if direct:
         return match_edges_direct(nodes, threshold)

@@ -35,10 +35,12 @@ def entity_assignments(
     persisted frame (ops/kg_queries does, via its stage cache).
 
     ``edges`` (optional): a pre-built — ideally PERSISTED —
-    match-edge frame (linking.match_edges output schema).  CC runs
-    TWO actions over it (branch-dispatch count + the small-graph
-    union-find collect); unpersisted, each re-executes the signature
-    self-join plan, whose codegen dominates at fixture scale."""
+    match-edge frame (linking.match_edges output schema).  CC persists
+    its own projected copy internally (one materialization per CC
+    call), so the shared frame's win is ACROSS consumers: the
+    kg_match_edges/kg_cc_components/kg_contracts queries and this
+    function all read one cached frame instead of each re-executing
+    the signature self-join plan once."""
     if nodes is None:
         nodes = surface_nodes(mentions)
     if edges is None:

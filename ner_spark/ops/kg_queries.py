@@ -187,19 +187,25 @@ def _cached_nodes(spark, sf_dir, st=None, st_view=None):
     nodes = surface_nodes(st_view["mentions"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if st is not None:
-        st["nodes"] = nodes
+    # get-or-create the entry: on a fully-cold call the local ``st``
+    # was captured BEFORE _stages built it — re-resolving here keeps
+    # the persisted frame evictable instead of orphaned for the app
+    # lifetime (and _stage_entry never rebuilds the DAG)
+    if st is None:
+        st = _stage_entry(spark, sf_dir)
+    st["nodes"] = nodes
     return nodes
 
 
 def _cached_match_edges(spark, sf_dir):
     """Get-or-create the PERSISTED linking edge frame (vocabulary-pair
-    scale — 308 rows at the gate corpus).  CC alone runs two actions
-    over it (branch-dispatch count + union-find collect), and
-    kg_match_edges / kg_cc_components / kg_contracts reference it
-    again — unpersisted, every one of those re-executes the signature
-    + self-join plan (whose 64-slot minhash codegen is the dominant
-    cost at fixture scale).  Unpersisted via _evict_other_keys /
+    scale — 308 rows at the gate corpus).  kg_match_edges,
+    kg_cc_components, kg_contracts, and the materialize branch each
+    reference it; unpersisted, each CONSUMER re-executes the signature
+    + self-join plan once (whose 64-slot minhash codegen is the
+    dominant cost at fixture scale — CC itself persists its projected
+    copy internally, so the sharing win is across consumers, not
+    within CC).  Unpersisted via _evict_other_keys /
     reset_stage_cache like every cached stage."""
     from pyspark import StorageLevel
 

@@ -126,3 +126,22 @@ def test_release_pipeline_unpersists_everything(spark):
     out2 = run_pipeline(spark, t, mode="gazetteer")
     release_pipeline(out2)
     assert not out2["tagged_turns"].is_cached
+
+
+def test_cold_cached_match_edges_registers_evictable_frames(spark):
+    """A fully-cold _cached_match_edges call (empty _STAGES) must
+    register BOTH persisted frames (nodes via _cached_nodes, edges
+    itself) in the stage entry -- an orphaned persist would survive
+    reset_stage_cache and poison cold benchmark passes via Spark's
+    plan-matching cache substitution."""
+    KQ = _fresh(spark)
+    edges = KQ._cached_match_edges(spark, SF_SMALL)
+    key = (spark.sparkContext.applicationId, SF_SMALL)
+    st = KQ._STAGES[key]
+    assert st["match_edges"] is edges
+    assert st["nodes"].storageLevel.useMemory
+    assert edges.storageLevel.useMemory
+    nodes = st["nodes"]
+    KQ._evict_other_keys(None)
+    assert not nodes.storageLevel.useMemory
+    assert not edges.storageLevel.useMemory
