@@ -176,9 +176,10 @@ def match_edges(
     chosen branch, never a second execution of the vocabulary subtree
     (the same pattern as kg/cc.py's branch decision)."""
     if direct is None:
-        from pyspark import StorageLevel
+        if not nodes.is_cached:  # re-persist at another level raises
+            from pyspark import StorageLevel
 
-        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+            nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
         direct = nodes.count() <= DIRECT_LINK_MAX
     if direct:
         return match_edges_direct(nodes, threshold)
