@@ -12,12 +12,14 @@ JSON manifest log beside the data:
   re-reads an older table state for as long as its files survive;
 - **expiry detection** — the parquet fallback's partition overwrite
   REPLACES files (unlike Iceberg's copy-on-write), so a pinned
-  snapshot whose files are gone — or whose sizes changed (in-place
-  rewrite/truncation) — raises :class:`SnapshotExpiredError` instead
-  of silently returning wrong rows — the same observable failure as
-  reading an expired Iceberg snapshot after ``expire_snapshots``.
+  snapshot whose files are gone — or whose size OR mtime_ns integrity
+  token changed (in-place rewrite, even at identical size) — raises
+  :class:`SnapshotExpiredError` instead of silently returning wrong
+  rows — the same observable failure as reading an expired Iceberg
+  snapshot after ``expire_snapshots``.
 
-Manifests are tiny (file names + sizes), written with tmp+rename (the
+Manifests are tiny (file names + sizes + mtime tokens), written with
+tmp+rename (the
 same atomic-commit point as lineage rows), and are append-only: one
 ``snap-<id>.json`` per commit, monotonically increasing ids, each
 carrying its parent id — a linear snapshot history like Iceberg's
@@ -45,11 +47,16 @@ def _snap_dir(root: str, stage: str) -> str:
 
 def _data_files(
     data_dir: str, buckets: set[int] | None = None
-) -> dict[str, int]:
-    """relative path → size for every parquet part file currently in
-    the stage directory (hive ``part=k`` layout), optionally
-    restricted to the given bucket ids."""
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(relative path → size, relative path → mtime_ns) for every
+    parquet part file currently in the stage directory (hive
+    ``part=k`` layout), optionally restricted to the given bucket ids.
+    The mtime_ns is the per-file integrity token recorded in the
+    manifest: a file overwritten IN PLACE with identical name and size
+    still gets a new mtime, so the expiry check catches it (one stat
+    per file, no content hashing)."""
     out: dict[str, int] = {}
+    toks: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(data_dir):
         rel_dir = os.path.relpath(dirpath, data_dir)
         if buckets is not None:
@@ -63,8 +70,11 @@ def _data_files(
         for fn in files:
             if fn.endswith(".parquet"):
                 full = os.path.join(dirpath, fn)
-                out[os.path.relpath(full, data_dir)] = os.path.getsize(full)
-    return out
+                rel = os.path.relpath(full, data_dir)
+                st = os.stat(full)
+                out[rel] = st.st_size
+                toks[rel] = st.st_mtime_ns
+    return out, toks
 
 
 def _bucket_of(rel: str) -> int | None:
@@ -172,8 +182,10 @@ def record_snapshot(
         and written_buckets is not None
     )
     files: dict[str, int] = {}
+    tokens: dict[str, int] = {}
     scan = set(committed)
     if inherit_ok:
+        parent_tokens = parent.get("tokens") or {}
         parent_by_bucket: dict[int, dict[str, int]] = {}
         for rel, size in parent["files"].items():
             b = _bucket_of(rel)
@@ -182,8 +194,19 @@ def record_snapshot(
         for b in committed - set(written_buckets):
             if b in parent_by_bucket:
                 files.update(parent_by_bucket[b])
+                # inherited buckets were not rewritten — their parent
+                # integrity tokens still describe the on-disk files
+                tokens.update(
+                    {
+                        rel: parent_tokens[rel]
+                        for rel in parent_by_bucket[b]
+                        if rel in parent_tokens
+                    }
+                )
                 scan.discard(b)
-    files.update(_data_files(data_dir, buckets=scan))
+    scanned, scanned_toks = _data_files(data_dir, buckets=scan)
+    files.update(scanned)
+    tokens.update(scanned_toks)
     if (
         parent is not None
         and parent["n_buckets"] == n_buckets
@@ -197,6 +220,7 @@ def record_snapshot(
         "stage": stage,
         "n_buckets": n_buckets,
         "files": files,
+        "tokens": tokens,
         "schema": schema_json,
         "committed_at": time.time(),
     }
@@ -219,8 +243,12 @@ def read_snapshot(
     """Read a stage AS OF a snapshot (latest when ``snapshot_id`` is
     None): exactly the manifest's files — concurrent writers' new or
     torn files are invisible.  Raises SnapshotExpiredError when any
-    pinned file no longer exists OR changed size (overwritten bucket /
-    in-place tamper), ValueError for an unknown id or an empty log."""
+    pinned file no longer exists, changed size, OR carries a different
+    mtime_ns integrity token than the manifest recorded (an in-place
+    rewrite with identical name and size still refreshes the mtime,
+    so same-size tampering is detected too; manifests written before
+    the token field existed fall back to the size-only check).
+    Raises ValueError for an unknown id or an empty log."""
     if snapshot_id is None:
         rec = _latest(root, stage)
         if rec is None:
@@ -240,22 +268,28 @@ def read_snapshot(
     # checks (Python cwd), but Spark resolves relative read paths
     # against the driver JVM's own cwd — which can differ
     data_dir = os.path.abspath(os.path.join(root, stage))
+    tokens = rec.get("tokens") or {}
     stale = []
     for rel, size in rec["files"].items():
         # single stat per file, tolerant of a concurrent overwrite
         # unlinking between check and use — either way it's expiry,
         # never an unhandled FileNotFoundError
         try:
-            if os.stat(os.path.join(data_dir, rel)).st_size != size:
+            st = os.stat(os.path.join(data_dir, rel))
+            tok = tokens.get(rel)
+            if st.st_size != size or (
+                tok is not None and st.st_mtime_ns != tok
+            ):
                 stale.append(rel)
         except OSError:
             stale.append(rel)
     if stale:
         raise SnapshotExpiredError(
             f"snapshot {rec['snapshot_id']} of stage {stage!r} expired: "
-            f"{len(stale)} of {len(rec['files'])} files were overwritten "
-            f"or resized in place (parquet fallback overwrites; Iceberg "
-            f"would retain them until expire_snapshots)"
+            f"{len(stale)} of {len(rec['files'])} files were overwritten, "
+            f"resized, or rewritten in place (parquet fallback "
+            f"overwrites; Iceberg would retain them until "
+            f"expire_snapshots)"
         )
     paths = [os.path.join(data_dir, rel) for rel in sorted(rec["files"])]
     if not paths:

@@ -174,7 +174,16 @@ def match_edges(
     (idempotent on already-persisted frames — ops/kg_queries' stage
     cache passes one) so the dispatch materialization also serves the
     chosen branch, never a second execution of the vocabulary subtree
-    (the same pattern as kg/cc.py's branch decision)."""
+    (the same pattern as kg/cc.py's branch decision).
+
+    NOTE — implicit persist: when the caller's ``nodes`` frame is NOT
+    already cached, this dispatch persists it at MEMORY_AND_DISK and
+    the returned (lazy) edge plan references that persisted frame, so
+    it is never unpersisted here.  Long-lived sessions making many
+    bare library calls should pass a pre-persisted vocabulary and
+    unpersist it themselves (ops/kg_queries' stage cache does exactly
+    this); otherwise each call with a fresh nodes frame leaves one
+    vocabulary-scale cached frame behind until the context ends."""
     if direct is None:
         if not nodes.is_cached:  # re-persist at another level raises
             from pyspark import StorageLevel

@@ -33,6 +33,10 @@ def entity_assignments(
     smaller than the mention stream (the module-header scale
     decision), so callers that run several actions should pass a
     persisted frame (ops/kg_queries does, via its stage cache).
+    When neither ``nodes`` nor ``edges`` is passed, match_edges'
+    size dispatch persists the derived vocabulary at MEMORY_AND_DISK
+    and leaves it cached (see its docstring) — pass and own your
+    frames in long-lived sessions.
 
     ``edges`` (optional): a pre-built — ideally PERSISTED —
     match-edge frame (linking.match_edges output schema).  CC persists

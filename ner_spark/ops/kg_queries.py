@@ -383,7 +383,13 @@ def kg_contracts(spark, sf_dir):
       -end — pinned read, stray-file atomicity, no-launder on resume,
       time travel, expiry detection
       (checkpoint/snapshots.snapshot_contract_violations).
-    """
+
+    NOTE — eager rows: the ``lineage_resume`` and ``snapshot_pinning``
+    scenarios (and the stage-cache materialization they ride on) run
+    AT DataFrame-BUILD time — calling this function executes them in
+    scratch dirs and embeds their counts as literals.  Correct under
+    the driver's build-then-compare gate; do not cache/re-build the
+    returned frame expecting a lazy plan."""
     st = _stages(spark, sf_dir, materialize=True)
     mentions = st["mentions"]
     triples = st["triples"]

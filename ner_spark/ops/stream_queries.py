@@ -236,7 +236,13 @@ _STREAM_CONTRACTS_SQL = " UNION ALL ".join(
 def stream_contracts(spark, sf_dir):
     """Externally-scored Structured Streaming contracts (X1–X7): each
     row is a stream-vs-batch violation count the oracle pins to zero.
-    See the module docstring for the scenario behind each row."""
+    See the module docstring for the scenario behind each row.
+
+    NOTE — eager: every streaming scenario runs AT DataFrame-BUILD
+    time (real readStream→writeStream drains in a scratch dir); the
+    returned frame is a createDataFrame over the already-computed
+    counts.  Correct under the driver's build-then-compare gate; do
+    not cache/re-build it expecting a lazy plan."""
     return spark.createDataFrame(
         streaming_contract_rows(spark), "contract string, violations long"
     )

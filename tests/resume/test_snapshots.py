@@ -189,6 +189,32 @@ def test_in_place_size_change_expires_snapshot(spark, tmp_path):
         read_snapshot(spark, root, "turns")
 
 
+def test_same_size_in_place_rewrite_expires_snapshot(spark, tmp_path):
+    """A file overwritten in place with identical name AND size must
+    still expire the snapshot — the manifest's per-file mtime_ns
+    integrity token catches what the size check alone cannot."""
+    root = str(tmp_path)
+    t = transcripts_df(spark, 8)
+    commit_stage(t, root, "turns", n_buckets=N_BUCKETS)
+    data_dir = os.path.join(root, "turns")
+    pdir = next(
+        os.path.join(data_dir, d)
+        for d in sorted(os.listdir(data_dir))
+        if d.startswith("part=")
+    )
+    victim = os.path.join(
+        pdir, next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    )
+    with open(victim, "rb") as f:
+        payload = f.read()
+    # byte-for-byte same size, different mtime_ns (a fresh write
+    # always advances the nanosecond clock past the recorded token)
+    with open(victim, "wb") as f:
+        f.write(payload)
+    with pytest.raises(SnapshotExpiredError):
+        read_snapshot(spark, root, "turns")
+
+
 def test_nested_stage_snapshot_read(spark, tmp_path):
     """Streaming commits nested stage names (stream_tagged/batch=N);
     the read_transcripts fallback must find their snapshot logs."""
