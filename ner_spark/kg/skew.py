@@ -73,6 +73,34 @@ def with_salt(
     return df.withColumn("salt", salt.cast("int"))
 
 
+# Per-(partition, conversation) row bound the salted layout must hold:
+# a conversation contributes ≤ TURNS_PER_FRAGMENT consecutive turns
+# per fragment, and hashing fragments into tasks collides only a few
+# fragments of the same conversation into one task (deterministic for
+# a fixed corpus — the xxhash64 family has no RNG state).  4 fragments
+# is far above the observed collision depth at gate scale and far
+# below an unsplit whale (5,000 rows), so the bound separates "layout
+# works" from "layout silently degenerated to conv_id partitioning".
+FRAGMENT_LOAD_BOUND = 4 * TURNS_PER_FRAGMENT
+
+
+def partition_load_violations(
+    laid: DataFrame, bound: int = FRAGMENT_LOAD_BOUND
+) -> DataFrame:
+    """(pid, conv_id, n) rows where one task partition holds more than
+    ``bound`` rows of a single conversation — the invariant
+    salted_repartition exists to enforce.  Evaluated on the frame's
+    CURRENT physical layout (spark_partition_id), so feed it the laid
+    -out frame directly; fed a conv_id-partitioned layout with a whale
+    conversation, it reports the whale (falsifiability test)."""
+    return (
+        laid.select(F.spark_partition_id().alias("pid"), "conv_id")
+        .groupBy("pid", "conv_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bound)
+    )
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, diagnose: bool = False
 ) -> DataFrame:

@@ -333,7 +333,16 @@ _KG_CONTRACTS = [
     "edge_conservation",
     "lineage_resume",
     "snapshot_pinning",
+    "skew_salt_parity",
+    "skew_triple_parity",
+    "skew_fragment_bound",
+    "linking_branch_parity",
 ]
+
+# Skew-scenario corpus: small enough to tag twice per layout in-gate,
+# with the pinned 5,000-turn whale dominating it — exactly the shape
+# the salting exists for.
+_SKEW_CONVS = 40
 
 _KG_CONTRACTS_SQL = " UNION ALL ".join(
     f"SELECT '{c}' AS contract, CAST(0 AS BIGINT) AS violations"
@@ -382,7 +391,22 @@ def kg_contracts(spark, sf_dir):
     - ``snapshot_pinning``: the S2 snapshot-read semantics hold end-to
       -end — pinned read, stray-file atomicity, no-launder on resume,
       time travel, expiry detection
-      (checkpoint/snapshots.snapshot_contract_violations).
+      (checkpoint/snapshots.snapshot_contract_violations);
+    - ``skew_salt_parity`` / ``skew_triple_parity``: over a planted-
+      whale corpus (5,000-turn conversation), the hot-conversation-
+      salted layout and the plain conv_id layout emit IDENTICAL
+      mention and triple multisets (kg/skew.py — salting must never
+      change results, only the partition shape; gazetteer mode, the
+      layout path is mode-independent);
+    - ``skew_fragment_bound``: in the salted layout no task partition
+      holds more than FRAGMENT_LOAD_BOUND rows of any single
+      conversation — the whale is actually split
+      (kg/skew.partition_load_violations);
+    - ``linking_branch_parity``: the banding LSH join
+      (match_edges(direct=False) — the branch that engages above
+      DIRECT_LINK_MAX and runs at 10¹² turns) emits exactly the edge
+      multiset the gate-scale direct broadcast path emits, over the
+      REAL session vocabulary.
 
     NOTE — eager rows: the ``lineage_resume`` and ``snapshot_pinning``
     scenarios (and the stage-cache materialization they ride on) run
@@ -437,6 +461,58 @@ def kg_contracts(spark, sf_dir):
         ],
         "contract string, violations long",
     )
+
+    # -- skew scenario (separate planted-whale corpus) --
+    from ner_spark.kg.cooccur import extract_triples
+    from ner_spark.kg.skew import (
+        partition_load_violations,
+        salted_repartition,
+    )
+    from ner_spark.ner.tagger import tag_turns
+
+    whale_t = _skew_corpus(spark)
+    par = spark.sparkContext.defaultParallelism
+    salted = tag_turns(
+        whale_t, mode="gazetteer", num_partitions=par, salt_hot=True
+    )
+    plain = tag_turns(
+        whale_t, mode="gazetteer", num_partitions=par, salt_hot=False
+    )
+    mention_cols = ["conv_id", "turn_idx", "start", "end", "surface", "label"]
+    salt_parity = cnt(
+        "skew_salt_parity",
+        multiset_diff(
+            mentions_of(salted).select(*mention_cols),
+            mentions_of(plain).select(*mention_cols),
+        ),
+    )
+    triple_parity = cnt(
+        "skew_triple_parity",
+        multiset_diff(extract_triples(salted), extract_triples(plain)),
+    )
+    # Layout width PINNED at 32 (not defaultParallelism): the
+    # violation count must be a fixed function of the corpus, and
+    # fragment→partition collision depth grows as partitions shrink
+    # (measured: 20 whale fragments → max 1,280 rows/partition at 8
+    # partitions vs 768 at 32 — the bound is 1,024).
+    frag_bound = cnt(
+        "skew_fragment_bound",
+        partition_load_violations(
+            salted_repartition(
+                whale_t.select("conv_id", "turn_idx", "text"), 32
+            )
+        ),
+    )
+
+    # -- linking branch parity (banding vs direct, real vocabulary) --
+    from ner_spark.kg.linking import match_edges
+
+    nodes = _cached_nodes(spark, sf_dir)
+    banding = match_edges(nodes, direct=False)
+    link_parity = cnt(
+        "linking_branch_parity", multiset_diff(banding, edges)
+    )
+
     out = byte_exact
     for part in (
         orphans,
@@ -450,9 +526,51 @@ def kg_contracts(spark, sf_dir):
         ent_cons,
         edge_cons,
         lineage,
+        salt_parity,
+        triple_parity,
+        frag_bound,
+        link_parity,
     ):
         out = out.unionByName(part)
     return out
+
+
+def _skew_corpus(spark):
+    """The planted-whale transcript corpus the skew contract rows run
+    on (deterministic; one 5,000-turn conversation among _SKEW_CONVS
+    Zipf-sized ones)."""
+    from ner_spark.fixtures.transcripts import transcripts_df
+
+    return transcripts_df(spark, _SKEW_CONVS, whale=True)
+
+
+def mentions_of(tagged_turns):
+    """tag_turns output → mention rows (re-exported thin wrapper so
+    the skew parity rows and their falsifiability tests share one
+    extraction)."""
+    from ner_spark.ner.tagger import mentions_from_turns
+
+    return mentions_from_turns(tagged_turns)
+
+
+def multiset_diff(a, b):
+    """Distinct rows whose multiplicities differ between two frames —
+    a LAZY multiset symmetric-difference plan (per-row counts,
+    full-outer-joined on null-safe equality), the same formulation as
+    stream_queries' eager _sym_diff: no exceptAll, so no
+    Generate(ReplicateRows) blow-up and one (row, count) pair shipped
+    per distinct row."""
+    from functools import reduce
+
+    cols = a.columns
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
+    cond = reduce(
+        lambda x, y: x & y, [ca[c].eqNullSafe(cb[c]) for c in cols]
+    )
+    return ca.join(cb, cond, "full_outer").filter(
+        F.coalesce(ca["_na"], F.lit(0)) != F.coalesce(cb["_nb"], F.lit(0))
+    )
 
 
 # -- invariant plan builders (factored so tests can plant violations

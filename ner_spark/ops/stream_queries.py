@@ -16,6 +16,10 @@ kg_* query, it is synthesized — sf_dir only keys the catalog shape),
 and all comparisons are multiset symmetric differences computed
 in-Spark, so any divergence — a dropped window, a duplicated row, a
 torn micro-batch commit — surfaces as a nonzero count the gate fails.
+The ``late_drop`` row covers X4's lateness semantics explicitly: a
+query-restart scenario where rows behind the checkpoint-committed
+watermark must be dropped from append-mode aggregates (see
+_late_drop_violations).
 """
 
 from __future__ import annotations
@@ -209,12 +213,96 @@ def streaming_contract_rows(spark: SparkSession) -> list[tuple[str, int]]:
         # (report the violation instead of crashing on got=None)
         diff = _sym_diff(got, exp) if got is not None else int(exp.count())
         rows.append(("commit_exactly_once", diff + bad_commits))
+
+        rows.append(("late_drop", _late_drop_violations(spark, tmp)))
         return rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         while _OPEN_SINKS:
             spark.catalog.dropTempView(_OPEN_SINKS.pop())
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _late_drop_violations(spark: SparkSession, tmp: str) -> int:
+    """X4 lateness semantics, externalized: rows arriving BEHIND the
+    committed watermark must be deterministically dropped from
+    append-mode windowed aggregates — across a query RESTART, so the
+    watermark exercised is the one persisted in the checkpoint, not
+    in-memory state.
+
+    Scenario: run 1 drains an on-time file (ts spanning 3 h), which
+    commits watermark = max(ts) − 1 h.  A second file of late rows
+    (all inside windows long closed by that watermark) plus a third
+    far-future file (closing every remaining window) are appended and
+    run 2 drains them from the same checkpoint.  The union of rows
+    emitted across both runs must equal the BATCH aggregate over the
+    on-time ∪ future rows only, restricted to closed windows — late
+    rows contribute nothing.  A final guard pins non-vacuity: had the
+    late rows been counted, the closed-window result WOULD differ (so
+    a regression that stops dropping them cannot pass)."""
+    from datetime import timedelta
+
+    from ner_spark.fixtures.transcripts import BASE_TS, TRANSCRIPT_SCHEMA
+    from ner_spark.streaming import face
+
+    def _frame(rows):
+        return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+    on_time = [
+        ("c%d" % i, 0, "user", "on-time turn", None, BASE_TS + timedelta(minutes=m))
+        for i, m in enumerate((0, 5, 12, 47, 95, 180))
+    ]
+    late = [
+        ("l%d" % i, 0, "user", "late turn", None, BASE_TS + timedelta(minutes=m))
+        for i, m in enumerate((1, 6, 13))
+    ]
+    fresh = [("z0", 0, "user", "fresh turn", None, BASE_TS + timedelta(hours=10))]
+
+    late_dir = os.path.join(tmp, "in_late")
+    ckpt = os.path.join(tmp, "ckpt_late")
+    emitted: list[tuple] = []
+
+    def _capture(bdf: DataFrame, _bid: int) -> None:
+        emitted.extend(tuple(r) for r in bdf.collect())
+
+    def _drain_once():
+        q = (
+            face.tumbling_counts(face.stream_transcripts(spark, late_dir, 4))
+            .writeStream.foreachBatch(_capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _frame(on_time).coalesce(1).write.mode("append").parquet(late_dir)
+    _drain_once()  # commits watermark = max(on_time ts) − 1 h
+    _frame(late).coalesce(1).write.mode("append").parquet(late_dir)
+    _frame(fresh).coalesce(1).write.mode("append").parquet(late_dir)
+    _drain_once()  # must DROP the late file's rows
+
+    got = spark.createDataFrame(
+        emitted, "wstart timestamp, role string, n bigint"
+    )
+    final_wm = BASE_TS + timedelta(hours=9)  # max(fresh ts) − 1 h
+    closed = (
+        F.col("wstart") + F.expr("INTERVAL 10 MINUTES")
+    ) <= F.lit(final_wm)
+
+    def _batch_closed(rows):
+        return (
+            _frame(rows)
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("wstart"), "role", "n")
+            .filter(closed)
+        )
+
+    exp = _batch_closed(on_time + fresh)
+    exp_with_late = _batch_closed(on_time + late + fresh)
+    vacuous = 1 if _sym_diff(exp_with_late, exp) == 0 else 0
+    return _sym_diff(got, exp) + vacuous
 
 
 _STREAM_CONTRACTS = [
@@ -224,6 +312,7 @@ _STREAM_CONTRACTS = [
     "dedup_exactly_once",
     "stateful_state_parity",
     "commit_exactly_once",
+    "late_drop",
 ]
 
 _STREAM_CONTRACTS_SQL = " UNION ALL ".join(

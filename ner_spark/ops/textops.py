@@ -339,6 +339,103 @@ def dedup_keep_clusters(spark, sf_dir, thresh: float = 0.35) -> DataFrame:
     )
 
 
+def keepers_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full-domain keeper set for a near-dup pair graph: every doc
+    keeps itself unless it appears in the graph and is NOT the min
+    doc_id of its connected component (the same canonicalization rule
+    dedup_keep_clusters materializes for graph members, extended to
+    the whole corpus — the doc set a 100 TB dedup materialization
+    actually writes).  Output: (doc_id,) keeper rows."""
+    from ner_spark.kg.cc import connected_components
+
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    non_keepers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.select("doc_id").join(non_keepers, "doc_id", "left_anti")
+
+
+def minhash_keep_candidates(
+    docs: DataFrame, est_thresh: float = 0.5
+) -> DataFrame:
+    """Candidate edges for the PRODUCTION keep-list path: MinHash+LSH
+    banding, thresholded on the estimator — at 10⁹+ docs the exact
+    5-gram pair join is off the table, so the edges feeding cluster
+    canonicalization are these."""
+    return (
+        lsh_candidate_pairs(minhash_signatures(docs, balance=False))
+        .filter(F.col("est_jaccard") >= est_thresh)
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_keep_scale_stats(spark, sf_dir) -> DataFrame:
+    """One-row contract frame for the end-to-end 100 TB dedup
+    materialization — approximate CANDIDATES (not exact pairs) feeding
+    the distributed-CC canonicalizer:
+
+    - ``n_exact_keepers``: |keeper set under the EXACT 5-gram jaccard
+      ≥ 0.5 cluster assignment| over the planted-near-dup-augmented
+      corpus — DuckDB-predicted via the recursive-CTE closure (a real
+      cross-engine check of the exact side);
+    - ``recall_ok``: the minhash-candidate keeper set covers ≥ 90 % of
+      the exact keeper set (missed candidate edges split clusters and
+      add spurious keepers — this bounds how many true keepers the
+      approximate path can lose);
+    - ``precision_ok``: ≥ 90 % of approximate keepers are exact
+      keepers (false-positive candidate edges merge clusters and drop
+      keepers — the other failure direction).
+
+    Planted (doc, ¬doc) near-dups have 5-gram jaccard ≈ 0.88, far
+    above the banding knee, so both bounds hold deterministically —
+    the hash family is RNG-free and the corpus is fixed."""
+    aug = planted_near_dups(table(spark, sf_dir, "documents"))
+    k_exact = keepers_from_pairs(
+        aug, ngram_jaccard_pairs(aug, 0.5).select("doc_a", "doc_b")
+    )
+    k_approx = keepers_from_pairs(aug, minhash_keep_candidates(aug, 0.5))
+    n_ex = k_exact.agg(F.count("*").alias("n_exact_keepers"))
+    n_ap = k_approx.agg(F.count("*").alias("n_approx_keepers"))
+    inter = k_exact.join(k_approx, "doc_id").agg(
+        F.count("*").alias("n_inter")
+    )
+    return (
+        n_ex.crossJoin(n_ap)
+        .crossJoin(inter)
+        .select(
+            "n_exact_keepers",
+            (F.col("n_inter") >= 0.9 * F.col("n_exact_keepers")).alias(
+                "recall_ok"
+            ),
+            (F.col("n_inter") >= 0.9 * F.col("n_approx_keepers")).alias(
+                "precision_ok"
+            ),
+        )
+    )
+
+
+# Deterministic planted near-duplicates: every ≥100-char document with
+# doc_id ≡ 0 (mod 10) gets a copy (id = -doc_id - 1, i.e. bitwise NOT:
+# collision-free against ANY non-negative real id space, unlike an
+# additive offset which a big-enough corpus would walk into) with a
+# small suffix appended — 5-gram jaccard ≥ ~0.88, far above the LSH
+# banding knee (P[candidate] = 1-(1-j⁴)^16 ≈ 1.0 at j = 0.88), so the
+# ≥ 0.9 recall bound holds with wide margin and is a FIXED function of
+# the dataset (hash family is RNG-free), not a statistical coin flip.
+# Consumed by dedup_minhash's contract AND dedup_exact's scale branch.
+PLANT_SUFFIX = " the end"
+_PLANT_PRED_SQL = "length(text) >= 100 AND doc_id % 10 = 0"
+
+# The SQL twin of planted_near_dups (a CTE body, used in two oracles).
+_AUG_CTE = f"""aug AS (
+      SELECT doc_id, lang, source, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1, lang, source, text || '{PLANT_SUFFIX}'
+      FROM documents WHERE {_PLANT_PRED_SQL}
+    )"""
+
 _EXACT_GROUPS_SQL = """
     SELECT md5(text) AS fp,
            CAST(count(*) AS BIGINT) AS n_copies,
@@ -348,7 +445,9 @@ _EXACT_GROUPS_SQL = """
 
 # Shared CTE chain of the exact 5-gram jaccard pair graph (the DuckDB
 # twin of ngram_jaccard_pairs) — consumed by dedup_ngram's pair oracle
-# and dedup_exact's cluster-keep oracle.
+# and dedup_exact's cluster-keep oracles; parameterized via
+# _ngram_pair_ctes so the scale branch can run it over the
+# planted-augmented corpus.
 _NGRAM_PAIR_CTES = """
     pos AS (
       SELECT doc_id, lang, source, text,
@@ -375,6 +474,12 @@ _NGRAM_PAIR_CTES = """
     )
 """
 
+def _ngram_pair_ctes(src: str) -> str:
+    return _NGRAM_PAIR_CTES.replace(
+        "FROM documents WHERE", f"FROM {src} WHERE"
+    )
+
+
 _CLUSTER_KEEP_SQL = f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
     pe AS (SELECT doc_a AS src, doc_b AS dst FROM jp WHERE jacc >= 0.35),
@@ -390,6 +495,26 @@ _CLUSTER_KEEP_SQL = f"""
     FROM walk GROUP BY node
 """
 
+# Exact keeper-set size over the planted-augmented corpus at the
+# keep-path threshold (0.5) — the recursive closure again, minus the
+# graph's non-keepers from the full augmented doc count.
+_CLUSTER_KEEP_SCALE_SQL = f"""
+    WITH RECURSIVE {_AUG_CTE}, {_ngram_pair_ctes("aug")},
+    pe AS (SELECT doc_a AS src, doc_b AS dst FROM jp WHERE jacc >= 0.5),
+    e AS (SELECT src, dst FROM pe UNION SELECT dst, src FROM pe),
+    walk(node, reach) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN e ON e.src = w.reach
+    ),
+    nonk AS (SELECT node FROM walk GROUP BY node HAVING node <> min(reach))
+    SELECT CAST((SELECT count(*) FROM aug)
+                - (SELECT count(*) FROM nonk) AS BIGINT)
+             AS n_exact_keepers,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+"""
+
 _DEDUP_EXACT_SQL = probes(
     wrap("exact", ["fp", "n_copies", "keeper"], _EXACT_GROUPS_SQL),
     wrap(
@@ -397,12 +522,17 @@ _DEDUP_EXACT_SQL = probes(
         ["doc_id", "cluster_keeper", "keep"],
         _CLUSTER_KEEP_SQL,
     ),
+    wrap(
+        "cluster_keep_scale",
+        ["n_exact_keepers", "recall_ok", "precision_ok"],
+        _CLUSTER_KEEP_SCALE_SQL,
+    ),
 )
 
 
 @register("dedup_exact", oracle=_DEDUP_EXACT_SQL)
 def dedup_exact(spark, sf_dir):
-    """Dedup materialization, composite (both branches externally
+    """Dedup materialization, composite (all branches externally
     scored):
 
     - ``exact``: hash-groupBy exact-duplicate groups with a
@@ -411,11 +541,19 @@ def dedup_exact(spark, sf_dir):
     - ``cluster_keep``: keep-one-per-cluster canonicalization of the
       near-dup graph — distributed CC over the exact jaccard ≥ 0.35
       pair set, replayed by a DuckDB recursive-CTE closure
-      (``dedup_keep_clusters``)."""
+      (``dedup_keep_clusters``);
+    - ``cluster_keep_scale``: the PRODUCTION keep-list path end-to-end
+      — MinHash+LSH candidates (est ≥ 0.5) feeding the same CC
+      canonicalizer over the planted-augmented corpus, with keeper-set
+      recall/precision ≥ 0.9 vs the exact cluster assignment and the
+      exact keeper count DuckDB-predicted (``dedup_keep_scale_stats``)
+      — candidates → CC → keepers, the materialization that runs at
+      100 TB where the exact pair join cannot."""
     return union_tagged(
         [
             ("exact", exact_dedup_groups(spark, sf_dir), None),
             ("cluster_keep", dedup_keep_clusters(spark, sf_dir), None),
+            ("cluster_keep_scale", dedup_keep_scale_stats(spark, sf_dir), None),
         ]
     )
 
@@ -701,16 +839,8 @@ def minhash_candidates(spark, sf_dir) -> DataFrame:
 # --- MinHash behavioral contract (the A3 pattern: compute the
 # guarantee in-Spark, emit values a plain-SQL oracle predicts) -------
 
-# Deterministic planted near-duplicates: every ≥100-char document with
-# doc_id ≡ 0 (mod 10) gets a copy (id = -doc_id - 1, i.e. bitwise NOT:
-# collision-free against ANY non-negative real id space, unlike an
-# additive offset which a big-enough corpus would walk into) with a
-# small suffix appended — 5-gram jaccard ≥ ~0.88, far above the LSH
-# banding knee (P[candidate] = 1-(1-j⁴)^16 ≈ 1.0 at j = 0.88), so the
-# ≥ 0.9 recall bound holds with wide margin and is a FIXED function of
-# the dataset (hash family is RNG-free), not a statistical coin flip.
-PLANT_SUFFIX = " the end"
-_PLANT_PRED_SQL = "length(text) >= 100 AND doc_id % 10 = 0"
+# (PLANT_SUFFIX/_PLANT_PRED_SQL/_AUG_CTE are defined above, next to
+# the dedup_exact scale branch that also consumes them.)
 
 
 def planted_near_dups(docs: DataFrame) -> DataFrame:
@@ -729,12 +859,7 @@ def planted_near_dups(docs: DataFrame) -> DataFrame:
 
 
 _DEDUP_MINHASH_SQL = f"""
-    WITH aug AS (
-      SELECT doc_id, lang, source, text FROM documents
-      UNION ALL
-      SELECT -doc_id - 1, lang, source, text || '{PLANT_SUFFIX}'
-      FROM documents WHERE {_PLANT_PRED_SQL}
-    ), pos AS (
+    WITH {_AUG_CTE}, pos AS (
       SELECT doc_id, lang, source, text,
              unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
       FROM aug WHERE length(text) >= 5

@@ -211,3 +211,69 @@ def test_edge_conservation_caught(spark):
         edge_conservation_gap(ok, triples.limit(0)).collect()[0]["violations"]
         == 0
     )
+
+
+# --- skew + linking-branch contracts (r5 rows) ------------------------
+
+
+def test_multiset_diff_zero_on_equal_and_catches_perturbations(spark):
+    from ner_spark.ops.kg_queries import multiset_diff
+
+    a = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2)], "k string, v int"
+    )
+    same = spark.createDataFrame(
+        [("y", 2), ("x", 1), ("x", 1)], "k string, v int"
+    )
+    assert multiset_diff(a, same).count() == 0
+    # multiplicity change IS a diff (the exceptAll-equivalent claim)
+    dup = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("x", 1), ("y", 2)], "k string, v int"
+    )
+    assert multiset_diff(a, dup).count() == 1
+    # value change shows up from both sides
+    other = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("z", 2)], "k string, v int"
+    )
+    assert multiset_diff(a, other).count() == 2
+    # NULL cells compare null-safely, not as always-unequal
+    na = spark.createDataFrame([("x", None)], "k string, v int")
+    assert multiset_diff(na, na).count() == 0
+
+
+def test_fragment_bound_passes_salted_and_catches_conv_layout(spark):
+    """The salted layout splits the whale below the bound; the plain
+    conv_id layout concentrates it in ONE partition and is caught —
+    the skew_fragment_bound row is falsifiable, not vacuously zero."""
+    from ner_spark.fixtures.transcripts import transcripts_df
+    from ner_spark.kg.skew import (
+        partition_load_violations,
+        salted_repartition,
+    )
+
+    t = transcripts_df(spark, 40, whale=True).select(
+        "conv_id", "turn_idx", "text"
+    )
+    assert (
+        partition_load_violations(salted_repartition(t, 32)).count() == 0
+    )
+    unsalted = t.repartition(32, "conv_id")
+    caught = partition_load_violations(unsalted).collect()
+    assert len(caught) == 1 and caught[0]["n"] == 5000  # the whale, whole
+
+
+def test_salt_parity_catches_a_layout_that_drops_rows(spark):
+    """If salting lost or duplicated rows, the parity rows would count
+    it: simulate by diffing the tagged frame against itself minus one
+    fragment."""
+    from ner_spark.fixtures.transcripts import transcripts_df
+    from ner_spark.ner.tagger import tag_turns
+    from ner_spark.ops.kg_queries import mentions_of, multiset_diff
+
+    t = transcripts_df(spark, 20, whale=False)
+    tagged = tag_turns(t, mode="gazetteer", num_partitions=8)
+    cols = ["conv_id", "turn_idx", "start", "end", "surface", "label"]
+    a = mentions_of(tagged).select(*cols)
+    assert multiset_diff(a, a).count() == 0
+    dropped = a.filter("turn_idx <> 0")
+    assert multiset_diff(a, dropped).count() > 0

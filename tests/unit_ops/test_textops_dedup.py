@@ -178,3 +178,66 @@ def test_winnow_shared_substring_guarantee(spark):
     for r in winnow_fingerprints(docs).collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got[0] & got[1], "shared passage must share a fingerprint"
+
+
+def test_keepers_from_pairs_full_domain_and_falsifiable(spark):
+    """keepers_from_pairs keeps every doc outside the graph, keeps
+    exactly the min doc_id inside each component — and a MISSING
+    candidate edge (the approximate path's failure mode) visibly
+    inflates the keeper set, which is what the cluster_keep_scale
+    recall bound measures."""
+    from ner_spark.ops.textops import keepers_from_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # clusters {0,1,2} (chained) and {4,5}; doc 3 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    keep = sorted(
+        r["doc_id"] for r in keepers_from_pairs(docs, pairs).collect()
+    )
+    assert keep == [0, 3, 4]
+    # drop the (1, 2) edge → the {0,1,2} cluster splits → 2 becomes a
+    # spurious keeper (recall vs the true keeper set stays 1.0 but
+    # precision drops: 3 of 4 approx keepers are true)
+    split = spark.createDataFrame([(0, 1), (4, 5)], "doc_a long, doc_b long")
+    keep2 = sorted(
+        r["doc_id"] for r in keepers_from_pairs(docs, split).collect()
+    )
+    assert keep2 == [0, 2, 3, 4]
+
+
+def test_minhash_keep_candidates_recover_planted_clusters(spark):
+    """The production path's candidate edges must put every planted
+    (doc, ¬doc) near-dup pair in one cluster at the keep threshold."""
+    from ner_spark.ops.textops import (
+        keepers_from_pairs,
+        minhash_keep_candidates,
+        planted_near_dups,
+    )
+
+    import hashlib
+
+    base = spark.createDataFrame(
+        [
+            # mutually DISSIMILAR texts — hash-derived hex streams
+            # share essentially no 5-grams across docs; each ≥ 100
+            # chars so the planting predicate fires
+            (
+                i,
+                "en",
+                "web",
+                " ".join(
+                    hashlib.sha256(f"{i}-{j}".encode()).hexdigest()
+                    for j in range(3)
+                ),
+            )
+            for i in range(0, 40, 10)  # ids 0,10,20,30 → all planted
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    aug = planted_near_dups(base)
+    keep = keepers_from_pairs(aug, minhash_keep_candidates(aug, 0.5))
+    kept = sorted(r["doc_id"] for r in keep.collect())
+    # each planted pair (i, -i-1) collapses to its min id = the copy
+    assert kept == [-31, -21, -11, -1]
