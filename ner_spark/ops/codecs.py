@@ -14,10 +14,13 @@ for the formats a zero-dependency environment CAN genuinely decode:
   ``NSV1`` + frame index + concatenated PNG frames) so frame-sampling
   has a real, seekable decode path; per-frame extraction reads ONLY
   the target frame's bytes (index header → slice), the 100 TB shape.
+- **JPEG** (baseline sequential, ops/jpeg.py — NEW r5: Huffman +
+  IDCT in numpy per ITU-T T.81; gray/RGB, 4:4:4 + 4:2:0, restart
+  intervals; encoder for fixtures) — re-exported here.
 
-Formats that genuinely need external codecs (JPEG, MP3, H.264…) still
-raise NotImplementedError in the multimodal hooks — honestly
-env-blocked, now a much smaller surface.
+Formats that genuinely need external codecs (MP3, H.264, progressive
+JPEG…) still raise NotImplementedError in the multimodal hooks —
+honestly env-blocked, now a much smaller surface.
 """
 
 from __future__ import annotations
@@ -28,6 +31,10 @@ import wave
 import zlib
 
 import numpy as np
+
+from ner_spark.ops.jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
+
+JPEG_SIG = b"\xff\xd8"
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 NSVC_MAGIC = b"NSV1"

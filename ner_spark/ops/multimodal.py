@@ -12,10 +12,13 @@ two tiers:
   are PNG/WAV/NSVC encodings of integer-arithmetic pixel patterns, so
   a plain-SQL oracle predicts every decoded dimension and pixel SUM —
   exact, no rounding).
-- **Env-blocked hooks**: formats that need external codecs (JPEG,
-  MP3, H.264…) still raise NotImplementedError in
+- **Env-blocked hooks**: formats that need external codecs (MP3,
+  H.264, progressive JPEG…) still raise NotImplementedError in
   ``decode_real``/``resize_real``/``sample_real`` — a production
-  deployment plugs PIL/ffmpeg in consciously.
+  deployment plugs PIL/ffmpeg in consciously.  Baseline JPEG decodes
+  for real since r5 (ops/jpeg.py, numpy Huffman + IDCT) and the
+  ``jpeg`` branch of ``mm_pipeline`` scores an encode→decode
+  error-bound contract externally.
 
 The md5-keyed deterministic fakes remain as the separate
 decode/resize/frame-sample branches: they exercise the same plumbing
@@ -87,24 +90,27 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, kind: str):
-    """REAL decode for the stdlib-supported formats, dispatched on
-    magic bytes: PNG → {'kind': 'image', 'array': uint8 ndarray},
+    """REAL decode for the in-repo-supported formats, dispatched on
+    magic bytes: PNG/JPEG → {'kind': 'image', 'array': uint8 ndarray},
     WAV → {'kind': 'audio', 'samples': int16 ndarray, 'rate': int},
-    NSVC → {'kind': 'video', 'n_frames': int}.  Anything else (JPEG,
-    MP3, H.264…) needs an external codec — still intentionally
-    unimplemented here."""
+    NSVC → {'kind': 'video', 'n_frames': int}.  Anything else (MP3,
+    H.264…) needs an external codec — still intentionally
+    unimplemented here (and non-baseline JPEG raises inside
+    decode_jpeg)."""
     from ner_spark.ops import codecs
 
     if payload[:8] == codecs.PNG_SIG:
         return {"kind": "image", "array": codecs.decode_png(payload)}
+    if payload[:2] == codecs.JPEG_SIG:
+        return {"kind": "image", "array": codecs.decode_jpeg(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = codecs.decode_wav(payload)
         return {"kind": "audio", "samples": samples, "rate": rate}
     if payload[:4] == codecs.NSVC_MAGIC:
         return {"kind": "video", "n_frames": codecs.video_n_frames(payload)}
     raise NotImplementedError(
-        "payload is not PNG/WAV/NSVC; plug in PIL/ffmpeg for other "
-        "formats and route _decode_fn through this"
+        "payload is not PNG/JPEG/WAV/NSVC; plug in PIL/ffmpeg for "
+        "other formats and route _decode_fn through this"
     )
 
 
@@ -256,17 +262,24 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_real(payload: bytes, w: int, h: int) -> bytes:
-    """REAL image resize for PNG payloads (decode → integer-exact
-    nearest-neighbor → re-encode); other formats need PIL."""
+    """REAL image resize for PNG/JPEG payloads (decode →
+    integer-exact nearest-neighbor → re-encode).  JPEG input
+    re-encodes as PNG: the resize output feeds downstream EXACT
+    contracts, and a second lossy generation would break them.
+    Other formats need PIL."""
     from ner_spark.ops import codecs
 
     if payload[:8] == codecs.PNG_SIG:
         return codecs.encode_png(
             codecs.resize_nearest(codecs.decode_png(payload), w, h)
         )
+    if payload[:2] == codecs.JPEG_SIG:
+        return codecs.encode_png(
+            codecs.resize_nearest(codecs.decode_jpeg(payload), w, h)
+        )
     raise NotImplementedError(
-        "payload is not PNG; plug in PIL for other formats and route "
-        "resize_media's inner call through this"
+        "payload is not PNG/JPEG; plug in PIL for other formats and "
+        "route resize_media's inner call through this"
     )
 
 
@@ -503,6 +516,68 @@ def mm_real(spark, sf_dir) -> DataFrame:
     return media.mapInPandas(fn, REAL_SCHEMA)
 
 
+# JPEG contract branch: the decoded array of a LOSSY codec is not
+# SQL-predictable, so the externally-scored claims are dims + an
+# error-bound boolean — deterministic for the fixed corpus (the
+# encoder has no RNG; measured max |err| = 22 at q95 4:4:4 over the
+# first 1,000 image docs, bound 48 = 2× margin).
+JPEG_ERR_BOUND = 48
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("err_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def mm_jpeg(spark, sf_dir) -> DataFrame:
+    """Baseline-JPEG encode→decode contract over the image-subset
+    docs: the SAME deterministic pixel pattern as the PNG real branch
+    is compressed through ops/jpeg.py (numpy Huffman + DCT, q=95
+    4:4:4), decoded back through the decode_real dispatch, and each
+    row pins dims + max-abs-error ≤ JPEG_ERR_BOUND.  A broken Huffman
+    table, zigzag, dequant, or IDCT blows the bound immediately —
+    while the SQL oracle predicts (media_id, dims, TRUE) rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ner_spark.ops import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = _real_px(d, REAL_IMG_W, REAL_IMG_H)
+                dec = decode_real(codecs.encode_jpeg(a, 95), "image")["array"]
+                err = int(np.abs(dec.astype(int) - a.astype(int)).max())
+                rows.append(
+                    (
+                        d,
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape == a.shape and err <= JPEG_ERR_BOUND,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_SCHEMA.fields]
+            )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    return docs.mapInPandas(fn, JPEG_SCHEMA)
+
+
+_MM_JPEG_SQL = f"""
+    SELECT doc_id AS media_id, {REAL_IMG_W} AS width,
+           {REAL_IMG_H} AS height, TRUE AS err_ok
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
 _MM_REAL_SQL = f"""
     SELECT d.doc_id AS media_id, 'image' AS kind, 0 AS idx,
            {REAL_IMG_W} AS dim_a, {REAL_IMG_H} AS dim_b,
@@ -550,6 +625,8 @@ _MM_REAL_SQL = f"""
         _wrap("real",
               ["media_id", "kind", "idx", "dim_a", "dim_b", "px_sum"],
               _MM_REAL_SQL),
+        _wrap("jpeg", ["media_id", "width", "height", "err_ok"],
+              _MM_JPEG_SQL),
     ),
 )
 def mm_pipeline(spark, sf_dir):
@@ -559,7 +636,9 @@ def mm_pipeline(spark, sf_dir):
     fakes DuckDB replays byte-for-byte, PLUS the ``real`` branch —
     actual PNG/WAV/NSVC encode→decode→resize→frame-sample through the
     stdlib codecs (ops/codecs.py), whose integer pixel patterns make
-    every decoded dimension and pixel sum SQL-predictable exactly."""
+    every decoded dimension and pixel sum SQL-predictable exactly —
+    PLUS the r5 ``jpeg`` branch: the numpy baseline-JPEG codec's
+    encode→decode error-bound contract (mm_jpeg)."""
     d = table(spark, sf_dir, "documents")
     m = media_from_documents(d)
     return _union_tagged(
@@ -579,5 +658,6 @@ def mm_pipeline(spark, sf_dir):
                 None,
             ),
             ("real", mm_real(spark, sf_dir), None),
+            ("jpeg", mm_jpeg(spark, sf_dir), None),
         ]
     )

@@ -212,3 +212,113 @@ def test_resize_nearest_property(h, w, oh, ow):
     ys = (np.arange(oh) * h) // oh
     xs = (np.arange(ow) * w) // ow
     assert np.array_equal(got, a[ys][:, xs])
+
+
+# -- baseline JPEG (ops/jpeg.py, numpy Huffman + DCT, T.81) -----------
+
+from ner_spark.ops.jpeg import _C, decode_jpeg, encode_jpeg
+
+
+def _smooth(h, w, ch=None):
+    """JPEG-friendly smooth pattern (lossy codec: error bounds below
+    are calibrated for low-frequency content; random noise would not
+    compress meaningfully)."""
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    g = np.clip(128 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0), 0, 255)
+    if ch is None:
+        return g.astype(np.uint8)
+    return np.stack(
+        [np.roll(g, 3 * c, axis=0) for c in range(ch)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_dct_basis_is_orthonormal():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_gray_roundtrip_bounded():
+    a = _smooth(48, 64)
+    d = decode_jpeg(encode_jpeg(a, 95))
+    assert d.shape == a.shape and d.dtype == np.uint8
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 8
+
+
+def test_jpeg_rgb_444_roundtrip_bounded():
+    a = _smooth(48, 64, 3)
+    d = decode_jpeg(encode_jpeg(a, 95))
+    assert d.shape == a.shape
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 16
+
+
+def test_jpeg_rgb_420_roundtrip_bounded():
+    """4:2:0 exercises multi-block interleaved MCUs + chroma
+    upsampling; the bound is looser (2×2 chroma averaging)."""
+    a = _smooth(48, 64, 3)
+    d = decode_jpeg(encode_jpeg(a, 95, "4:2:0"))
+    assert d.shape == a.shape
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 32
+
+
+def test_jpeg_non_multiple_of_8_dims_crop_exactly():
+    a = _smooth(41, 53, 3)
+    d = decode_jpeg(encode_jpeg(a, 90))
+    assert d.shape == a.shape
+    a2 = _smooth(41, 53)
+    d2 = decode_jpeg(encode_jpeg(a2, 90, "4:2:0"))
+    assert d2.shape == a2.shape
+
+
+def test_jpeg_deterministic_bytes():
+    a = _smooth(24, 16, 3)
+    assert encode_jpeg(a, 90) == encode_jpeg(a, 90)
+    assert encode_jpeg(a, 90) != encode_jpeg(a, 50)
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """RSTn markers (byte realignment + DC predictor reset) must not
+    change the decoded pixels — same quantized coefficients, different
+    entropy framing."""
+    a = _smooth(48, 64, 3)
+    d0 = decode_jpeg(encode_jpeg(a, 95))
+    for ri in (1, 2, 5):
+        di = decode_jpeg(encode_jpeg(a, 95, restart_interval=ri))
+        assert np.array_equal(d0, di)
+
+
+def test_jpeg_decode_real_dispatch_and_resize():
+    from ner_spark.ops.multimodal import decode_real, resize_real
+
+    a = _smooth(16, 24, 3)
+    payload = encode_jpeg(a, 95)
+    d = decode_real(payload, "image")
+    assert d["kind"] == "image" and d["array"].shape == a.shape
+    small = decode_png(resize_real(payload, 8, 8))
+    assert small.shape == (8, 8, 3)
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # craft a progressive (SOF2) header: SOI + SOF2 stub
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_quality_monotone_error():
+    """Lower quality → coarser quantization → error can only grow (on
+    this fixed smooth fixture)."""
+    a = _smooth(48, 64)
+
+    def err(q):
+        d = decode_jpeg(encode_jpeg(a, q))
+        return int(np.abs(d.astype(int) - a.astype(int)).max())
+
+    assert err(95) <= err(50) <= err(10)
