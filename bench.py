@@ -8,12 +8,23 @@ prints exactly ONE JSON line on stdout:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {...}, "sf": ..., ...extras}
 
-``--scaling``: runs the same KG workload in two fresh subprocesses at
-local[8] and local[32] (the sandbox stand-in for N vs 4N executors —
-BASELINE.json:2,14), computes throughput at both plus the efficiency
-(thr32/thr8)/4, and rewrites BENCH.md.
+``--scaling``: runs the same KG workload in fresh subprocesses across
+the core configs (the sandbox stand-in for N vs 4N executors —
+BASELINE.json:2,14), computes throughput at each plus every N→4N
+efficiency, saves the results to ``SCALING_local.json``, and rewrites
+BENCH.md from all saved scaling runs.
 
-``--worker N``: internal — one measured KG pipeline run at ``local[N]``.
+``--scaling --local-cluster``: same workload, but each worker runs
+on ``local-cluster[N,2,<mem>]`` — REAL separate executor JVMs (each
+with its own heap, GC, JIT, and python workers) connected to an
+in-process standalone master.  This isolates single-JVM contention
+from the engine's plan: a pair that scales here but not under
+local[N] was bounded by shared-process effects, not the job graph.
+Results land in ``SCALING_localcluster.json`` and BENCH.md shows
+both tables side by side.
+
+``--worker N [--local-cluster]``: internal — one measured KG pipeline
+run at ``local[N]`` / ``local-cluster[N/2,2,·]``.
 """
 
 from __future__ import annotations
@@ -144,14 +155,40 @@ def run_headline() -> None:
     print(json.dumps(out))
 
 
-def run_worker(cores: int) -> None:
+# local-cluster topology: 2 cores per executor JVM, so the core
+# configs map to 1/2/4/8/16 SEPARATE executor processes — "N vs 4N
+# executors" in the most literal form one box can host.  3 GiB per
+# executor: the 2.1M-turn corpus localCheckpoints to ~250 MB total
+# and the tagger state is per-worker-constant, so 16 executors stay
+# comfortably inside the box alongside the 24 GiB driver.
+LC_CORES_PER_EXEC = 2
+LC_MEM_MB = int(os.environ.get("SPARK_GRAFT_LC_MEM_MB", "3072"))
+
+
+def run_worker(cores: int, local_cluster: bool = False) -> None:
     """One measured KG pipeline run (tag → triples → count) on a
     deterministic transcript corpus with the pinned whale conv."""
     from ner_spark.fixtures.transcripts import transcripts_df
     from ner_spark.session import get_spark
 
+    master = None
+    extra: dict[str, str] = {}
+    if local_cluster:
+        n_exec = max(1, cores // LC_CORES_PER_EXEC)
+        master = f"local-cluster[{n_exec},{LC_CORES_PER_EXEC},{LC_MEM_MB}]"
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        extra = {
+            "spark.executor.memory": f"{LC_MEM_MB}m",
+            # executor JVMs spawn their own python workers; ship the
+            # repo path explicitly (the sandbox analog of --py-files)
+            "spark.executorEnv.PYTHONPATH": repo_root,
+        }
     spark = get_spark(
-        f"ner_spark-scaling-{cores}", cores=cores, shuffle_partitions=2 * cores
+        f"ner_spark-scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        master=master,
+        extra_conf=extra,
     )
     t = transcripts_df(spark, SCALING_CONVS, whale=True, partitions=4 * cores)
     t = t.localCheckpoint(eager=True)  # exclude generation from the timing
@@ -251,11 +288,14 @@ def _headline_pair(pairs: list[tuple[int, int]]) -> tuple[int, int]:
     return pairs[0]
 
 
-def _one_worker(cores: int) -> dict:
+def _one_worker(cores: int, local_cluster: bool = False) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores)]
+    if local_cluster:
+        cmd.append("--local-cluster")
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -264,18 +304,30 @@ def _one_worker(cores: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def run_scaling() -> None:
+def _mode_name(local_cluster: bool) -> str:
+    return "localcluster" if local_cluster else "local"
+
+
+def _scaling_json_path(mode: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"SCALING_{mode}.json"
+    )
+
+
+def run_scaling(local_cluster: bool = False) -> None:
     """N vs 4N core pairs over CONFIGS (see the constant's comment for
     which pair is the engine's headline and why the oversubscribed
-    pairs measure the hardware instead)."""
+    pairs measure the hardware instead).  ``local_cluster`` swaps the
+    per-worker master for local-cluster[N,2,·] — separate executor
+    JVMs — to isolate shared-process contention from the plan."""
     results: dict[int, dict] = {}
     for cores in CONFIGS:
         best = None
         for _ in range(REPEATS):
-            r = _one_worker(cores)
+            r = _one_worker(cores, local_cluster)
             if best is None or r["sec"] < best["sec"]:
                 best = r
-            print(f"[scaling] {r}", file=sys.stderr)
+            print(f"[scaling:{_mode_name(local_cluster)}] {r}", file=sys.stderr)
         results[cores] = best
 
     def eff(lo: int, hi: int, key: str) -> float:
@@ -285,10 +337,12 @@ def run_scaling() -> None:
     lo, hi = (
         _headline_pair(pairs) if pairs else (min(results), max(results))
     )
+    mode = _mode_name(local_cluster)
     summary = {
         "metric": f"scaling_efficiency_triples_{lo}_to_{hi}",
         "value": eff(lo, hi, "triples_per_sec"),
         "unit": "ratio",
+        "mode": mode,
         "headline_rule": (
             "largest N->4N pair with 2*(4N) < physical cores "
             f"({_phys_cores()}); see bench._headline_pair — fixed a "
@@ -305,54 +359,103 @@ def run_scaling() -> None:
     for a, b in pairs:
         summary[f"efficiency_triples_{a}_to_{b}"] = eff(a, b, "triples_per_sec")
         summary[f"efficiency_turns_{a}_to_{b}"] = eff(a, b, "turns_per_sec")
-    _write_bench_md(results, summary, pairs)
+    with open(_scaling_json_path(mode), "w") as f:
+        json.dump(
+            {"results": results, "summary": summary, "pairs": pairs}, f
+        )
+    _write_bench_md()
     print(json.dumps(summary))
 
 
-def _write_bench_md(
-    results: dict[int, dict], summary: dict, pairs: list[tuple[int, int]]
-) -> None:
+def _mode_section(mode: str) -> str:
+    """Render one saved scaling run (tables + pair efficiencies)."""
+    path = _scaling_json_path(mode)
+    if not os.path.isfile(path):
+        return ""
+    with open(path) as f:
+        rec = json.load(f)
+    results = {int(k): v for k, v in rec["results"].items()}
+    summary = rec["summary"]
+    pairs = [tuple(p) for p in rec["pairs"]]
     any_c = sorted(results)[0]
-    hp = _headline_pair(pairs) if pairs else None
-    headline_pair = f"local[{hp[0]}] → local[{hp[1]}]" if hp else "n/a"
+    if mode == "localcluster":
+        title = (
+            "## local-cluster[N,2,·] — separate executor JVMs "
+            "(N/2 real executor processes)"
+        )
+
+        def cfg(c):
+            return f"local-cluster[{max(1, c // LC_CORES_PER_EXEC)},2,·]"
+
+    else:
+        title = "## local[N] — single shared JVM"
+
+        def cfg(c):
+            return f"local[{c}]"
+
     rows = "\n".join(
-        f"| local[{c}] | {2 * c} | {results[c]['turns_per_sec']:,} "
+        f"| {cfg(c)} | {2 * c} | {results[c]['turns_per_sec']:,} "
         f"| {results[c]['triples_per_sec']:,} | {results[c]['sec']} |"
         for c in sorted(results)
     )
     pair_rows = "\n".join(
-        f"| local[{a}] → local[{b}] | {2 * b} | "
+        f"| {cfg(a)} → {cfg(b)} | {2 * b} | "
         f"**{summary[f'efficiency_triples_{a}_to_{b}']:.3f}** | "
         f"{summary[f'efficiency_turns_{a}_to_{b}']:.3f} |"
         for a, b in pairs
     )
-    md = f"""# BENCH — measured throughput and scaling evidence
+    return f"""{title}
 
-KG pipeline (fragment-hash layout → BiLSTM-CRF mapInPandas tagger →
-co-occurrence triples, ONE Spark action with Observation counters)
-over {results[any_c]['n_turns']:,} deterministic transcript turns (Zipf
-conversation sizes + pinned 5,000-turn whale), measured end-to-end in
-fresh JVMs, best of {REPEATS} runs per config (co-tenant sandbox →
-noisy wall clock).  This is the sandbox stand-in for N vs 4N executors
-(BASELINE.json:2,14): same job, same input, cores and shuffle
-partitions scaled 4×.
-
-Mentions {results[any_c]['n_mentions']:,} / triples {results[any_c]['n_triples']:,}
+{results[any_c]['n_turns']:,} turns, mentions
+{results[any_c]['n_mentions']:,} / triples {results[any_c]['n_triples']:,}
 — identical at every parallelism (partition-invariance contract).
 
-| cores | effective demand* | turns/sec | triples/sec | wall sec |
+| config | effective demand* | turns/sec | triples/sec | wall sec |
 | --- | --- | --- | --- | --- |
 {rows}
-
-\\* a python-UDF pipeline occupies one python worker AND one JVM
-thread per task slot: local[c] asks ~2c cores of the 32-core box.
-
-**Scaling efficiency (N → 4N cores, throughput ratio ÷ 4):**
 
 | pair | 4N effective demand | triples/sec eff | turns/sec eff |
 | --- | --- | --- | --- |
 {pair_rows}
+"""
 
+
+def _write_bench_md() -> None:
+    """Regenerate BENCH.md from every saved SCALING_*.json run."""
+    sections = [
+        s for s in (_mode_section("local"), _mode_section("localcluster")) if s
+    ]
+    hp = None
+    lp = _scaling_json_path("local")
+    if os.path.isfile(lp):
+        with open(lp) as f:
+            pairs = [tuple(p) for p in json.load(f)["pairs"]]
+        hp = _headline_pair(pairs) if pairs else None
+    headline_pair = f"local[{hp[0]}] → local[{hp[1]}]" if hp else "n/a"
+    body = "\n".join(sections)
+    md = f"""# BENCH — measured throughput and scaling evidence
+
+KG pipeline (fragment-hash layout → BiLSTM-CRF mapInPandas tagger →
+co-occurrence triples, ONE Spark action with Observation counters)
+over deterministic transcript turns (Zipf conversation sizes + pinned
+5,000-turn whale), measured end-to-end in fresh JVMs, best of
+{REPEATS} runs per config (co-tenant sandbox → noisy wall clock).
+This is the sandbox stand-in for N vs 4N executors
+(BASELINE.json:2,14): same job, same input, cores and shuffle
+partitions scaled 4×.  Two execution modes, reported side by side:
+
+- **local[N]** — one shared JVM, N task threads (+ N python workers);
+- **local-cluster[N/2,2,·]** — an in-process standalone master with
+  N/2 SEPARATE executor JVMs of 2 cores each (own heap, GC, JIT,
+  python workers): the closest one box gets to "N vs 4N executors",
+  and the control that separates single-JVM contention from the
+  engine's plan.
+
+\\* a python-UDF pipeline occupies one python worker AND one JVM
+thread per task slot: a 4N config at 2·4N ≥ 32 effective cores
+saturates this 32-core box regardless of mode.
+
+{body}
 **Reading (target ≥ 0.8, BASELINE.json):** all N→4N pairs above are
 reported with equal prominence.  The headline pair is selected by the
 A-PRIORI rule in `bench._headline_pair()` — the largest N whose 4N
@@ -365,11 +468,19 @@ saturation — python workers sharing one memory subsystem — not the
 engine's plan: per-core throughput declines smoothly with occupancy
 while the shuffle/codegen stages stay flat.  On a real cluster, N and
 4N *executors* bring their own memory bandwidth, which is exactly the
-regime the fits-in-box pair approximates.
+regime the fits-in-box pair approximates.  The local-cluster table is
+the isolating control for the saturated pairs: separate executor
+JVMs remove shared-process effects (one GC, one JIT code cache, one
+lock-contended allocator), so a 4→16 gap that persists there under
+identical plans is attributable to the shared memory subsystem, while
+a gap that closes would have indicted the single-JVM runtime.
 
-Regenerate: `python bench.py --scaling`
-(`SPARK_GRAFT_BENCH_CORES`/`SPARK_GRAFT_BENCH_REPEATS` to override).
-Headline query timings: `python bench.py` (one JSON line).
+Regenerate: `python bench.py --scaling` and
+`python bench.py --scaling --local-cluster`
+(`SPARK_GRAFT_BENCH_CORES`/`SPARK_GRAFT_BENCH_REPEATS` to override);
+each saves SCALING_<mode>.json and re-renders this file from all
+saved runs.  Headline query timings: `python bench.py` (one JSON
+line).
 
 Headline-timing notes: `python bench.py` runs every headline query
 THREE TIMES in one session and reports the per-query MIN (the kg stage
@@ -390,9 +501,10 @@ headline query.
 
 
 if __name__ == "__main__":
+    lc = "--local-cluster" in sys.argv
     if "--worker" in sys.argv:
-        run_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        run_worker(int(sys.argv[sys.argv.index("--worker") + 1]), lc)
     elif "--scaling" in sys.argv:
-        run_scaling()
+        run_scaling(lc)
     else:
         run_headline()
