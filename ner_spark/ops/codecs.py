@@ -77,9 +77,13 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
-    """Invert the PNG scanline filters.  Filters 0 (None) and 2 (Up)
-    vectorize; 1/3/4 (Sub/Average/Paeth) need the in-row recurrence —
-    encoders here emit 0, so the hot path is the vector one."""
+    """Invert the PNG scanline filters.  Filters 0 (None), 1 (Sub —
+    per-channel-lane cumsum; mod-256 addition commutes with the
+    cumulative sum), and 2 (Up) vectorize; 3/4 (Average/Paeth) keep
+    the in-row recurrence (their predictors mix the just-decoded left
+    neighbor through floor-div/argmin, which has no closed
+    vector form).  Encoders here emit 0, so the fixture hot path is
+    always vectorized; real-world Sub rows now are too."""
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -90,6 +94,10 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
         pos += 1 + stride
         if f == 0:
             cur = row.astype(np.int32)
+        elif f == 1:
+            cur = (
+                np.cumsum(row.reshape(w, ch).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.int32).reshape(stride)
         elif f == 2:
             cur = (row.astype(np.int32) + prev) & 0xFF
         else:
@@ -98,9 +106,7 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             for i in range(stride):
                 a = int(cur[i - ch]) if i >= ch else 0
                 b = int(prev[i])
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) // 2
                 elif f == 4:
                     c = int(prev[i - ch]) if i >= ch else 0
