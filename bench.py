@@ -329,6 +329,13 @@ def run_scaling(local_cluster: bool = False) -> None:
                 best = r
             print(f"[scaling:{_mode_name(local_cluster)}] {r}", file=sys.stderr)
         results[cores] = best
+        # incremental checkpoint: a killed sweep keeps its finished
+        # configs (a full 5-config × 3-repeat sweep runs ~30-60 min in
+        # the co-tenant sandbox; losing it all to a crash is worse
+        # than one extra tiny file write per config)
+        partial = _scaling_json_path(_mode_name(local_cluster)) + ".partial"
+        with open(partial, "w") as fh:
+            json.dump({str(k): v for k, v in results.items()}, fh)
 
     def eff(lo: int, hi: int, key: str) -> float:
         return round((results[hi][key] / results[lo][key]) / (hi / lo), 3)
