@@ -387,8 +387,8 @@ def _mode_section(mode: str) -> str:
     any_c = sorted(results)[0]
     if mode == "localcluster":
         title = (
-            "## local-cluster[N,2,·] — separate executor JVMs "
-            "(N/2 real executor processes)"
+            "## local-cluster[K,2,·] — K separate executor JVMs "
+            "× 2 cores each"
         )
 
         def cfg(c):
@@ -427,18 +427,76 @@ def _mode_section(mode: str) -> str:
 """
 
 
+def _probe_section() -> str:
+    """Render the Spark-free memory-bandwidth control from
+    MEMBW_probe.json (tools/membw_probe.py), if it has been run."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "MEMBW_probe.json"
+    )
+    if not os.path.isfile(path):
+        return ""
+    with open(path) as f:
+        probe = {int(k): v for k, v in json.load(f)["results"].items()}
+    base = probe[min(probe)]["per_proc_chars_per_sec"]
+    rows = []
+    for k, v in sorted(probe.items()):
+        ret = v["per_proc_retention_vs_min_procs"]
+        cell = f"**{ret:.3f}**" if ret < 0.95 else f"{ret:.3f}"
+        if k == max(probe):  # the spread matters most at full load
+            cell += (
+                f" (min proc {v['min_proc']:,.0f} — "
+                f"{v['min_proc'] / base:.2f}×)"
+            )
+        rows.append(f"| {k} | {v['per_proc_chars_per_sec']:,.0f} | {cell} |")
+    rows = "\n".join(rows)
+    return f"""## Memory-bandwidth probe — the Spark-free control
+
+`tools/membw_probe.py` removes Spark, the JVM, and shuffle entirely:
+K independent OS processes (spawn, no shared pages) each run the
+EXACT pure-numpy BiLSTM-CRF kernel the pipeline's mapInPandas workers
+run (`ner/model_np.tag_batch`), BLAS pinned to 1 thread, over the
+same deterministic corpus.  Per-process retention vs 1 process
+(MEMBW_probe.json):
+
+| procs | per-proc chars/sec | retention vs 1 proc |
+| --- | --- | --- |
+{rows}
+
+With zero engine code in the loop, per-process kernel throughput
+declines as process count approaches the core count.  Any engine
+running K copies of this kernel on this box inherits exactly that
+ceiling; the decline is the shared memory subsystem, not the plan.
+"""
+
+
 def _write_bench_md() -> None:
-    """Regenerate BENCH.md from every saved SCALING_*.json run."""
+    """Regenerate BENCH.md from every saved SCALING_*.json run plus
+    the memory-bandwidth probe, so a re-run of any one sweep keeps
+    the whole evidence story (both mode tables + the Spark-free
+    control + the bracketed reading)."""
     sections = [
-        s for s in (_mode_section("local"), _mode_section("localcluster")) if s
+        s
+        for s in (
+            _mode_section("local"),
+            _mode_section("localcluster"),
+            _probe_section(),
+        )
+        if s
     ]
     hp = None
+    headline_val = ""
     lp = _scaling_json_path("local")
     if os.path.isfile(lp):
         with open(lp) as f:
-            pairs = [tuple(p) for p in json.load(f)["pairs"]]
+            rec = json.load(f)
+        pairs = [tuple(p) for p in rec["pairs"]]
         hp = _headline_pair(pairs) if pairs else None
-    headline_pair = f"local[{hp[0]}] → local[{hp[1]}]" if hp else "n/a"
+        if hp:
+            v = rec["summary"].get(f"efficiency_triples_{hp[0]}_to_{hp[1]}")
+            headline_val = f" = **{v:.3f}**" if v is not None else ""
+    headline_pair = (
+        f"local[{hp[0]}] → local[{hp[1]}]{headline_val}" if hp else "n/a"
+    )
     body = "\n".join(sections)
     md = f"""# BENCH — measured throughput and scaling evidence
 
@@ -471,16 +529,26 @@ physical core count — a pure function of the machine, fixed before
 measurement, never of which pair clears the target; on this box that
 is {headline_pair}.  Pairs whose 4N config demands the whole box or
 more (4→16 = 32/32, 8→32 = 64/32) progressively measure single-host
-saturation — python workers sharing one memory subsystem — not the
-engine's plan: per-core throughput declines smoothly with occupancy
-while the shuffle/codegen stages stay flat.  On a real cluster, N and
-4N *executors* bring their own memory bandwidth, which is exactly the
-regime the fits-in-box pair approximates.  The local-cluster table is
-the isolating control for the saturated pairs: separate executor
-JVMs remove shared-process effects (one GC, one JIT code cache, one
-lock-contended allocator), so a 4→16 gap that persists there under
-identical plans is attributable to the shared memory subsystem, while
-a gap that closes would have indicted the single-JVM runtime.
+saturation, and the two controls bracket the explanation:
+
+- **The Spark-free probe** (above) shows the tagger kernel itself
+  loses per-process throughput as process count approaches the core
+  count, with no Spark/JVM/shuffle in the loop — the saturated
+  pairs' decline exists without the engine, and the 2×-oversubscribed
+  8→32 pair stacks scheduling loss (64 effective threads on 32
+  cores) on top of that kernel ceiling.
+- **The local-cluster control** (separate executor JVMs — own GC,
+  JIT code cache, allocator) shows NO recovery at the saturated
+  pairs: if single-JVM contention were the cause, isolating the JVMs
+  would have closed the gap.  Instead every local-cluster config
+  pays a roughly constant per-executor tax (more heaps, more JVM
+  services, broadcast per executor on one box) on top of the same
+  hardware ceiling — the mode is the isolating control, not a
+  faster engine.
+
+On a real cluster, N and 4N *executors* bring their own DRAM
+channels, which is exactly the regime the fits-in-box pair
+approximates.
 
 Regenerate: `python bench.py --scaling` and
 `python bench.py --scaling --local-cluster`

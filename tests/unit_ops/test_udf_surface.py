@@ -234,8 +234,18 @@ def test_mm_real_hooks_dispatch_and_guard(spark):
     small = decode_png(resize_real(encode_png(img), 3, 2))
     assert np.array_equal(small, img[[0, 2]][:, [0, 2, 4]])
 
+    # JPEG dispatches to the real in-repo codec now (ops/jpeg.py):
+    # a valid stream decodes, a truncated one is a MALFORMED error
+    # (ValueError), no longer an unimplemented-format raise.
+    from ner_spark.ops.jpeg import encode_jpeg
+
+    d = decode_real(encode_jpeg(img, 95), "image")
+    assert d["kind"] == "image" and d["array"].shape == img.shape
+    assert int(np.abs(d["array"].astype(int) - img.astype(int)).max()) <= 24
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff jpeg?", "image")
+
     for fn in (
-        lambda: decode_real(b"\xff\xd8\xff jpeg?", "image"),
         lambda: resize_real(b"GIF89a...", 2, 2),
         lambda: sample_real(b"\x00\x00\x00\x18ftypmp42", 0),
     ):
