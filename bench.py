@@ -174,7 +174,15 @@ def run_worker(cores: int, local_cluster: bool = False) -> None:
     master = None
     extra: dict[str, str] = {}
     if local_cluster:
-        n_exec = max(1, cores // LC_CORES_PER_EXEC)
+        if cores % LC_CORES_PER_EXEC:
+            # silently rounding would mislabel the config: the N used
+            # in throughput/efficiency math must be the cores RUN
+            raise SystemExit(
+                f"--local-cluster needs core counts divisible by "
+                f"{LC_CORES_PER_EXEC} (got {cores}); adjust "
+                f"SPARK_GRAFT_BENCH_CORES"
+            )
+        n_exec = cores // LC_CORES_PER_EXEC
         master = f"local-cluster[{n_exec},{LC_CORES_PER_EXEC},{LC_MEM_MB}]"
         repo_root = os.path.dirname(os.path.abspath(__file__))
         extra = {
@@ -320,20 +328,40 @@ def run_scaling(local_cluster: bool = False) -> None:
     pairs measure the hardware instead).  ``local_cluster`` swaps the
     per-worker master for local-cluster[N,2,·] — separate executor
     JVMs — to isolate shared-process contention from the plan."""
+    mode = _mode_name(local_cluster)
+    if local_cluster:
+        bad = [c for c in CONFIGS if c % LC_CORES_PER_EXEC]
+        if bad:
+            raise SystemExit(
+                f"--local-cluster core configs must be divisible by "
+                f"{LC_CORES_PER_EXEC}: {bad}"
+            )
+    partial = _scaling_json_path(mode) + ".partial"
     results: dict[int, dict] = {}
+    # crash recovery: a full 5-config × 3-repeat sweep runs 30-60 min
+    # in the co-tenant sandbox.  Finished configs checkpoint to a
+    # .partial file after each config; a re-run resumes from it (the
+    # corpus is deterministic and the file is deleted on success, so
+    # it only ever holds a crashed sweep's completed configs — delete
+    # it to force a fresh sweep).
+    if os.path.isfile(partial):
+        with open(partial) as fh:
+            results = {int(k): v for k, v in json.load(fh).items()}
+        print(
+            f"[scaling:{mode}] resuming from {partial}: "
+            f"configs {sorted(results)} already measured",
+            file=sys.stderr,
+        )
     for cores in CONFIGS:
+        if cores in results:
+            continue
         best = None
         for _ in range(REPEATS):
             r = _one_worker(cores, local_cluster)
             if best is None or r["sec"] < best["sec"]:
                 best = r
-            print(f"[scaling:{_mode_name(local_cluster)}] {r}", file=sys.stderr)
+            print(f"[scaling:{mode}] {r}", file=sys.stderr)
         results[cores] = best
-        # incremental checkpoint: a killed sweep keeps its finished
-        # configs (a full 5-config × 3-repeat sweep runs ~30-60 min in
-        # the co-tenant sandbox; losing it all to a crash is worse
-        # than one extra tiny file write per config)
-        partial = _scaling_json_path(_mode_name(local_cluster)) + ".partial"
         with open(partial, "w") as fh:
             json.dump({str(k): v for k, v in results.items()}, fh)
 
@@ -344,7 +372,6 @@ def run_scaling(local_cluster: bool = False) -> None:
     lo, hi = (
         _headline_pair(pairs) if pairs else (min(results), max(results))
     )
-    mode = _mode_name(local_cluster)
     summary = {
         "metric": f"scaling_efficiency_triples_{lo}_to_{hi}",
         "value": eff(lo, hi, "triples_per_sec"),
@@ -356,7 +383,9 @@ def run_scaling(local_cluster: bool = False) -> None:
             "priori, all pairs reported below with equal prominence"
         ),
         "queries": {
-            f"local{c}_{k}": results[c][k]
+            # key prefix must name the mode actually run, or a
+            # localcluster summary mislabels its configs as local[N]
+            f"{mode}{c}_{k}": results[c][k]
             for c in sorted(results)
             for k in ("turns_per_sec", "triples_per_sec")
         },
@@ -370,6 +399,8 @@ def run_scaling(local_cluster: bool = False) -> None:
         json.dump(
             {"results": results, "summary": summary, "pairs": pairs}, f
         )
+    if os.path.isfile(partial):  # the final JSON supersedes it
+        os.remove(partial)
     _write_bench_md()
     print(json.dumps(summary))
 
@@ -469,11 +500,12 @@ ceiling; the decline is the shared memory subsystem, not the plan.
 """
 
 
-def _write_bench_md() -> None:
-    """Regenerate BENCH.md from every saved SCALING_*.json run plus
-    the memory-bandwidth probe, so a re-run of any one sweep keeps
-    the whole evidence story (both mode tables + the Spark-free
-    control + the bracketed reading)."""
+def _render_bench_md() -> str:
+    """Render BENCH.md's full text from every saved SCALING_*.json
+    run plus the memory-bandwidth probe, so a re-run of any one sweep
+    keeps the whole evidence story (both mode tables + the Spark-free
+    control + the bracketed reading).  Pure — tests compare this
+    against the committed file without touching the tree."""
     sections = [
         s
         for s in (
@@ -569,10 +601,14 @@ numbers are AMORTIZED across the family.  `PLANS.md`
 (tools/plan_audit.py) holds the formatted physical plans for every
 headline query.
 """
+    return md
+
+
+def _write_bench_md() -> None:
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w"
     ) as f:
-        f.write(md)
+        f.write(_render_bench_md())
 
 
 if __name__ == "__main__":

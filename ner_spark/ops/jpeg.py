@@ -464,13 +464,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them rather than parsing 0xFF as a code
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream (lone 0xFF at end)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (marker without length)")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG stream (segment overruns data)")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -472,12 +472,15 @@ def kg_contracts(spark, sf_dir):
 
     whale_t = _skew_corpus(spark)
     par = spark.sparkContext.defaultParallelism
+    # each tagged frame feeds TWO parity subtrees (mentions + triples)
+    # — persist so the gazetteer tagger runs once per layout, not
+    # twice (lives until the session ends, like the stage cache)
     salted = tag_turns(
         whale_t, mode="gazetteer", num_partitions=par, salt_hot=True
-    )
+    ).persist()
     plain = tag_turns(
         whale_t, mode="gazetteer", num_partitions=par, salt_hot=False
-    )
+    ).persist()
     mention_cols = ["conv_id", "turn_idx", "start", "end", "surface", "label"]
     salt_parity = cnt(
         "skew_salt_parity",

@@ -553,15 +553,14 @@ def mm_jpeg(spark, sf_dir) -> DataFrame:
                 d = int(did)
                 a = _real_px(d, REAL_IMG_W, REAL_IMG_H)
                 dec = decode_real(codecs.encode_jpeg(a, 95), "image")["array"]
-                err = int(np.abs(dec.astype(int) - a.astype(int)).max())
-                rows.append(
-                    (
-                        d,
-                        dec.shape[1],
-                        dec.shape[0],
-                        dec.shape == a.shape and err <= JPEG_ERR_BOUND,
-                    )
-                )
+                # dims first: on a crop/padding regression the error
+                # subtraction would broadcast-crash the task instead
+                # of emitting the falsified row
+                ok = dec.shape == a.shape
+                if ok:
+                    err = int(np.abs(dec.astype(int) - a.astype(int)).max())
+                    ok = err <= JPEG_ERR_BOUND
+                rows.append((d, dec.shape[1], dec.shape[0], ok))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in JPEG_SCHEMA.fields]
             )

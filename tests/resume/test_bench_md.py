@@ -59,9 +59,7 @@ def test_committed_bench_md_matches_fresh_render():
         pytest.skip("no saved sweep in this tree")
     with open(os.path.join(REPO, "BENCH.md")) as f:
         committed = f.read()
-    bench._write_bench_md()  # idempotent: renders from the same JSONs
-    with open(os.path.join(REPO, "BENCH.md")) as f:
-        fresh = f.read()
+    fresh = bench._render_bench_md()  # pure: the tree is not touched
     assert committed == fresh, (
         "BENCH.md drifted from its generator — edit the template in "
         "bench._write_bench_md/_probe_section/_mode_section instead of "

@@ -322,3 +322,29 @@ def test_jpeg_quality_monotone_error():
         return int(np.abs(d.astype(int) - a.astype(int)).max())
 
     assert err(95) <= err(50) <= err(10)
+
+
+def test_jpeg_malformed_streams_raise_valueerror_not_indexerror():
+    """The docstring promises ValueError on malformed streams; lone
+    trailing 0xFF, marker-without-length, and overrunning segment
+    lengths must not escape as IndexError/struct.error."""
+    good = encode_jpeg(_smooth(16, 16), 90)
+    for bad in (
+        b"\xff\xd8\xff",                     # lone 0xFF at end
+        b"\xff\xd8\xff jpeg?",               # garbage marker + overrun len
+        b"\xff\xd8\xff\xdb\x00",             # DQT length truncated
+        good[: len(good) // 2],              # cut mid-stream
+    ):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code.  Stuff some between segments of a valid stream and
+    the decode must be unchanged."""
+    a = _smooth(16, 24, 3)
+    enc = encode_jpeg(a, 90)
+    # insert fill bytes after SOI (before the first marker's 0xFF)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))

@@ -114,9 +114,15 @@ def run(procs: list[int], seconds: float, n_convs: int, batch: int) -> dict:
             "max_proc": round(max(rates), 1),
             "wall_sec": round(time.perf_counter() - t0, 1),
         }
-        base = results[procs[0]]["per_proc_chars_per_sec"]
-        results[k]["per_proc_retention_vs_min_procs"] = round(per / base, 3)
         print(f"[membw] {results[k]}", file=sys.stderr)
+    # retention baseline = the SMALLEST process count measured, not
+    # the first config passed — `--procs 8,1,2` must not make the
+    # "vs min procs" ratios silently relative to the 8-proc run
+    base = results[min(results)]["per_proc_chars_per_sec"]
+    for k in results:
+        results[k]["per_proc_retention_vs_min_procs"] = round(
+            results[k]["per_proc_chars_per_sec"] / base, 3
+        )
     return results
 
 
