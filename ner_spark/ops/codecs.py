@@ -18,9 +18,10 @@ for the formats a zero-dependency environment CAN genuinely decode:
   IDCT in numpy per ITU-T T.81; gray/RGB, 4:4:4 + 4:2:0, restart
   intervals; encoder for fixtures) — re-exported here.
 
-Formats that genuinely need external codecs (MP3, H.264, progressive
-JPEG…) still raise NotImplementedError in the multimodal hooks —
-honestly env-blocked, now a much smaller surface.
+Formats that genuinely need external codecs (MP3, H.264…) still
+raise NotImplementedError in the multimodal hooks — honestly
+env-blocked, now a much smaller surface (JPEG covers both baseline
+and progressive since r5).
 """
 
 from __future__ import annotations

@@ -13,10 +13,12 @@ two tiers:
   a plain-SQL oracle predicts every decoded dimension and pixel SUM —
   exact, no rounding).
 - **Env-blocked hooks**: formats that need external codecs (MP3,
-  H.264, progressive JPEG…) still raise NotImplementedError in
+  H.264…) still raise NotImplementedError in
   ``decode_real``/``resize_real``/``sample_real`` — a production
-  deployment plugs PIL/ffmpeg in consciously.  Baseline JPEG decodes
-  for real since r5 (ops/jpeg.py, numpy Huffman + IDCT) and the
+  deployment plugs PIL/ffmpeg in consciously.  Baseline AND
+  progressive JPEG decode for real since r5 (ops/jpeg.py, numpy
+  Huffman + IDCT; SOF2 spectral selection + successive
+  approximation, parity-pinned against the baseline decode) and the
   ``jpeg`` branch of ``mm_pipeline`` scores an encode→decode
   error-bound contract externally.
 

@@ -296,10 +296,11 @@ def test_jpeg_decode_real_dispatch_and_resize():
     assert small.shape == (8, 8, 3)
 
 
-def test_jpeg_rejects_non_baseline_and_garbage():
+def test_jpeg_rejects_unsupported_and_garbage():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
-    # craft a progressive (SOF2) header: SOI + SOF2 stub
+    # SOF2 (progressive) is SUPPORTED now; a progressive header with
+    # no scans is a malformed stream, not an unimplemented format
     sof2 = (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -308,8 +309,11 @@ def test_jpeg_rejects_non_baseline_and_garbage():
         + struct.pack(">HH", 8, 8)
         + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(sof2)
+    # arithmetic-coded sequential (SOF9) still raises honestly
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2.replace(b"\xff\xc2", b"\xff\xc9", 1))
 
 
 def test_jpeg_quality_monotone_error():
@@ -348,3 +352,85 @@ def test_jpeg_fill_bytes_before_markers_are_legal():
     # insert fill bytes after SOI (before the first marker's 0xFF)
     padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+# -- progressive JPEG (SOF2: spectral selection + successive approx) --
+
+from ner_spark.ops.jpeg import encode_jpeg_progressive
+
+
+def test_jpeg_progressive_parity_gray_and_rgb():
+    """The parity contract: encode_jpeg_progressive carries the SAME
+    quantized coefficients as encode_jpeg (shared _quantize_block),
+    so decode of either stream must be pixel-identical."""
+    for a in (_smooth(48, 64), _smooth(48, 64, 3)):
+        base = decode_jpeg(encode_jpeg(a, 90))
+        prog = decode_jpeg(encode_jpeg_progressive(a, 90))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_parity_420_and_odd_dims():
+    """4:2:0 exercises interleaved multi-block DC MCUs; odd dims
+    exercise the spec-vs-padded block grid split (AC scans cover only
+    ceil(dim/8) blocks while interleaved DC covers the MCU grid's
+    dummy blocks)."""
+    for h, w in ((48, 64), (41, 53), (49, 40)):
+        a = _smooth(h, w, 3)
+        base = decode_jpeg(encode_jpeg(a, 90, "4:2:0"))
+        prog = decode_jpeg(encode_jpeg_progressive(a, 90, "4:2:0"))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_sa_depths_and_restarts():
+    """Successive-approximation depths 1 (spectral selection only)
+    through 4, and RSTn intervals inside progressive scans (bit
+    realignment + DC predictor + EOB-run reset)."""
+    a = _smooth(40, 56, 3)
+    base = decode_jpeg(encode_jpeg(a, 90, "4:2:0"))
+    for levels in (1, 2, 3, 4):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(a, 90, "4:2:0", levels=levels)
+        )
+        assert np.array_equal(base, prog), f"levels={levels}"
+    for ri in (1, 3):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                a, 90, "4:2:0", levels=3, restart_interval=ri
+            )
+        )
+        assert np.array_equal(base, prog), f"restart={ri}"
+
+
+def test_jpeg_progressive_noise_and_eobrun_extremes():
+    """Noisy content drives the ZRL/new-coef/correction-bit paths;
+    flat content accumulates long EOB runs across blocks (the
+    (nbits<<4) EOB-run symbols the baseline tables don't even have)."""
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    flat = np.full((64, 64), 128, dtype=np.uint8)
+    for a, q in ((noisy, 50), (noisy, 90), (flat, 90)):
+        base = decode_jpeg(encode_jpeg(a, q))
+        prog = decode_jpeg(encode_jpeg_progressive(a, q, levels=3))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_decode_real_dispatch():
+    """multimodal.decode_real's magic-byte dispatch reaches the
+    progressive decoder with no special-casing."""
+    from ner_spark.ops.multimodal import decode_real
+
+    a = _smooth(16, 24, 3)
+    d = decode_real(encode_jpeg_progressive(a, 90), "image")
+    assert d["kind"] == "image"
+    assert np.array_equal(d["array"], decode_jpeg(encode_jpeg(a, 90)))
+
+
+def test_jpeg_progressive_malformed_and_unsupported_raise():
+    a = _smooth(16, 16)
+    enc = encode_jpeg_progressive(a, 90)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(enc[:40])  # cut inside the header segments
+    # arithmetic-coded frame marker (SOF9) still raises honestly
+    bad = enc.replace(b"\xff\xc2", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad)
