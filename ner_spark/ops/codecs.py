@@ -33,7 +33,11 @@ import zlib
 
 import numpy as np
 
-from ner_spark.ops.jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
+from ner_spark.ops.jpeg import (  # noqa: F401 (re-export)
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 JPEG_SIG = b"\xff\xd8"
 

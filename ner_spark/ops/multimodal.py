@@ -531,18 +531,23 @@ JPEG_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("err_ok", T.BooleanType(), False),
+        T.StructField("prog_ok", T.BooleanType(), False),
     ]
 )
 
 
 def mm_jpeg(spark, sf_dir) -> DataFrame:
-    """Baseline-JPEG encode→decode contract over the image-subset
-    docs: the SAME deterministic pixel pattern as the PNG real branch
-    is compressed through ops/jpeg.py (numpy Huffman + DCT, q=95
-    4:4:4), decoded back through the decode_real dispatch, and each
-    row pins dims + max-abs-error ≤ JPEG_ERR_BOUND.  A broken Huffman
-    table, zigzag, dequant, or IDCT blows the bound immediately —
-    while the SQL oracle predicts (media_id, dims, TRUE) rows."""
+    """JPEG encode→decode contract over the image-subset docs: the
+    SAME deterministic pixel pattern as the PNG real branch is
+    compressed through ops/jpeg.py (numpy Huffman + DCT, q=95 4:4:4),
+    decoded back through the decode_real dispatch, and each row pins
+    dims + max-abs-error ≤ JPEG_ERR_BOUND.  A broken Huffman table,
+    zigzag, dequant, or IDCT blows the bound immediately.  ``prog_ok``
+    additionally pins the PROGRESSIVE (SOF2) path: the spectral-
+    selection + successive-approximation stream of the same input
+    must decode pixel-identical to the baseline stream (they carry
+    the same quantized coefficients by construction) — while the SQL
+    oracle predicts (media_id, dims, TRUE, TRUE) rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -562,7 +567,13 @@ def mm_jpeg(spark, sf_dir) -> DataFrame:
                 if ok:
                     err = int(np.abs(dec.astype(int) - a.astype(int)).max())
                     ok = err <= JPEG_ERR_BOUND
-                rows.append((d, dec.shape[1], dec.shape[0], ok))
+                prog = decode_real(
+                    codecs.encode_jpeg_progressive(a, 95, levels=2), "image"
+                )["array"]
+                prog_ok = prog.shape == dec.shape and bool(
+                    np.array_equal(prog, dec)
+                )
+                rows.append((d, dec.shape[1], dec.shape[0], ok, prog_ok))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in JPEG_SCHEMA.fields]
             )
@@ -575,7 +586,7 @@ def mm_jpeg(spark, sf_dir) -> DataFrame:
 
 _MM_JPEG_SQL = f"""
     SELECT doc_id AS media_id, {REAL_IMG_W} AS width,
-           {REAL_IMG_H} AS height, TRUE AS err_ok
+           {REAL_IMG_H} AS height, TRUE AS err_ok, TRUE AS prog_ok
     FROM documents WHERE doc_id % 3 = 0
 """
 
@@ -626,7 +637,7 @@ _MM_REAL_SQL = f"""
         _wrap("real",
               ["media_id", "kind", "idx", "dim_a", "dim_b", "px_sum"],
               _MM_REAL_SQL),
-        _wrap("jpeg", ["media_id", "width", "height", "err_ok"],
+        _wrap("jpeg", ["media_id", "width", "height", "err_ok", "prog_ok"],
               _MM_JPEG_SQL),
     ),
 )
@@ -638,8 +649,9 @@ def mm_pipeline(spark, sf_dir):
     actual PNG/WAV/NSVC encode→decode→resize→frame-sample through the
     stdlib codecs (ops/codecs.py), whose integer pixel patterns make
     every decoded dimension and pixel sum SQL-predictable exactly —
-    PLUS the r5 ``jpeg`` branch: the numpy baseline-JPEG codec's
-    encode→decode error-bound contract (mm_jpeg)."""
+    PLUS the r5 ``jpeg`` branch: the numpy JPEG codec's
+    encode→decode error-bound contract and the progressive-vs-
+    baseline pixel-parity bit (mm_jpeg)."""
     d = table(spark, sf_dir, "documents")
     m = media_from_documents(d)
     return _union_tagged(
