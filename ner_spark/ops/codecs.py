@@ -84,11 +84,13 @@ def encode_png(arr: np.ndarray) -> bytes:
 def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Invert the PNG scanline filters.  Filters 0 (None), 1 (Sub —
     per-channel-lane cumsum; mod-256 addition commutes with the
-    cumulative sum), and 2 (Up) vectorize; 3/4 (Average/Paeth) keep
-    the in-row recurrence (their predictors mix the just-decoded left
-    neighbor through floor-div/argmin, which has no closed
-    vector form).  Encoders here emit 0, so the fixture hot path is
-    always vectorized; real-world Sub rows now are too."""
+    cumulative sum), and 2 (Up) vectorize fully; 3/4 (Average/Paeth)
+    keep the in-row recurrence (their predictors mix the just-decoded
+    left neighbor through floor-div/argmin, which has no closed
+    vector form) but run it per PIXEL with the channel lanes
+    vectorized — w numpy steps per row, not w*ch python steps.
+    Encoders here emit 0, so the fixture hot path stays fully
+    vectorized; real-world Sub rows are too."""
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -105,27 +107,34 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             ).astype(np.int32).reshape(stride)
         elif f == 2:
             cur = (row.astype(np.int32) + prev) & 0xFF
+        elif f in (3, 4):
+            r = row.reshape(w, ch).astype(np.int32)
+            up = prev.reshape(w, ch)
+            px = np.zeros((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            if f == 3:
+                for x in range(w):
+                    left = (r[x] + (left + up[x]) // 2) & 0xFF
+                    px[x] = left
+            else:
+                upleft = np.zeros(ch, dtype=np.int32)
+                for x in range(w):
+                    b = up[x]
+                    p = left + b - upleft
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, b, upleft),
+                    )
+                    left = (r[x] + pred) & 0xFF
+                    px[x] = left
+                    upleft = b
+            cur = px.reshape(stride)
         else:
-            cur = np.zeros(stride, dtype=np.int32)
-            r = row.astype(np.int32)
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                if f == 3:
-                    pred = (a + b) // 2
-                elif f == 4:
-                    c = int(prev[i - ch]) if i >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    if pa <= pb and pa <= pc:
-                        pred = a
-                    elif pb <= pc:
-                        pred = b
-                    else:
-                        pred = c
-                else:
-                    raise ValueError(f"bad PNG filter byte {f}")
-                cur[i] = (r[i] + pred) & 0xFF
+            raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
     return out

@@ -90,6 +90,33 @@ def test_png_decoder_inverts_all_five_filters():
     assert np.array_equal(decode_png(png), img)
 
 
+@pytest.mark.parametrize("ch,seed", [(1, 1), (3, 2), (4, 5)])
+def test_png_decoder_inverts_average_paeth_heavy_rows(ch, seed):
+    """Wide rows dominated by filters 3/4 — exercises the per-pixel
+    channel-lane recurrence (not just the 6-px spec case above)."""
+    img = _img(9, 83, None if ch == 1 else ch, seed=seed)
+    flat = img if img.ndim == 3 else img[:, :, None]
+    raw = _forward_filter(flat, [3, 4, 4, 3, 1, 3, 4])
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", 83, 9, 8, color, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+
 def test_png_unsupported_shapes_raise():
     with pytest.raises(ValueError):
         decode_png(b"\xff\xd8\xff\xe0 not a png")
