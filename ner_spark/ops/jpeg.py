@@ -37,6 +37,7 @@ level shift, float64 IDCT rounded once at the end.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -637,6 +638,18 @@ def encode_jpeg_progressive(
                 for ci in preds:
                     preds[ci] = 0
 
+        def _emit_dc(zz, ci):
+            if Ah == 0:
+                dcv = int(zz[0]) >> Al
+                size, bits = _magnitude(dcv - preds[ci])
+                preds[ci] = dcv
+                c, ln = dc_codes[ci][size]
+                wtr.put(c, ln)
+                if size:
+                    wtr.put(bits, size)
+            else:  # refinement scan: one correction bit per block
+                wtr.put((int(zz[0]) >> Al) & 1, 1)
+
         if Ss == 0:  # DC scan (interleaved or single component)
             if interleaved:
                 unit = 0
@@ -648,19 +661,10 @@ def encode_jpeg_progressive(
                             ch, cv = factors[ci]
                             for v in range(cv):
                                 for hh in range(ch):
-                                    zz = coefs[ci][my * cv + v, mx * ch + hh]
-                                    if Ah == 0:
-                                        dcv = int(zz[0]) >> Al
-                                        size, bits = _magnitude(
-                                            dcv - preds[ci]
-                                        )
-                                        preds[ci] = dcv
-                                        c, ln = dc_codes[ci][size]
-                                        wtr.put(c, ln)
-                                        if size:
-                                            wtr.put(bits, size)
-                                    else:
-                                        wtr.put((int(zz[0]) >> Al) & 1, 1)
+                                    _emit_dc(
+                                        coefs[ci][my * cv + v, mx * ch + hh],
+                                        ci,
+                                    )
             else:
                 ci = scan_comps[0]
                 (bh, bw), _ = grids[ci]
@@ -668,17 +672,7 @@ def encode_jpeg_progressive(
                     (by, bx) for by in range(bh) for bx in range(bw)
                 ):
                     _restart_if_due(ui)
-                    zz = coefs[ci][by, bx]
-                    if Ah == 0:
-                        dcv = int(zz[0]) >> Al
-                        size, bits = _magnitude(dcv - preds[ci])
-                        preds[ci] = dcv
-                        c, ln = dc_codes[ci][size]
-                        wtr.put(c, ln)
-                        if size:
-                            wtr.put(bits, size)
-                    else:
-                        wtr.put((int(zz[0]) >> Al) & 1, 1)
+                    _emit_dc(coefs[ci][by, bx], ci)
         else:  # AC scan: always single component (T.81 G.1.1.1)
             ci = scan_comps[0]
             (bh, bw), _ = grids[ci]
@@ -763,6 +757,27 @@ def _decode_block(rd, dc_tab, ac_tab, qtab, pred) -> tuple[np.ndarray, int]:
         zz[i] = _extend(rd.bits(size), size)
         i += 1
     return _dequant_block(zz, qtab), pred
+
+
+def _restart_segments(scan_bytes: bytes, restart: int, n_units: int):
+    """Yield one ``(_BitReader, range_of_unit_indices)`` pair per
+    restart interval — the ONE restart-walk shared by the baseline and
+    progressive decode loops.  With no DRI the whole entropy segment
+    is a single interval; otherwise the scan splits on RSTn markers
+    and each interval covers at most ``restart`` units, with DC
+    predictors / EOB runs reset per interval by the caller
+    (T.81 §E.1.4).  Every interval always accounts for its full unit
+    window: a truncated segment pads with zero bits (_BitReader
+    semantics) rather than shifting later units."""
+    segs = (
+        re.split(b"\xff[\xd0-\xd7]", scan_bytes) if restart
+        else [scan_bytes]
+    )
+    ui = 0
+    for seg in segs:
+        upto = min(n_units, ui + restart) if restart else n_units
+        yield _BitReader(seg), range(ui, upto)
+        ui = upto
 
 
 def _entropy_end(data: bytes, start: int) -> int:
@@ -880,20 +895,10 @@ def _decode_prog_scan(
             for bx in range(bw):
                 unit_blocks.append([(c, by, bx)])
 
-    if restart:
-        import re
-
-        segs = re.split(b"\xff[\xd0-\xd7]", scan_bytes)
-    else:
-        segs = [scan_bytes]
-    ui = 0
-    n_units = len(unit_blocks)
-    for seg in segs:
-        rd = _BitReader(seg)
+    for rd, units in _restart_segments(scan_bytes, restart, len(unit_blocks)):
         preds = {c["id"]: 0 for c in order}
         state = {"eobrun": 0}
-        upto = min(n_units, ui + restart) if restart else n_units
-        while ui < upto:
+        for ui in units:
             for c, by, bx in unit_blocks[ui]:
                 zz = coefs[c["id"]][by, bx]
                 if Ss == 0:  # DC
@@ -909,7 +914,6 @@ def _decode_prog_scan(
                         _dec_ac_first(rd, zz, Ss, Se, Al, actab, state)
                     else:
                         _dec_ac_refine(rd, zz, Ss, Se, Al, actab, state)
-            ui += 1
 
 
 def _finish(planes: dict, frame: dict) -> np.ndarray:
@@ -1111,19 +1115,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
              for sc in scan_comps]
 
     # split on restart markers so each interval realigns + resets DC
-    if restart:
-        import re
-
-        intervals = re.split(b"\xff[\xd0-\xd7]", scan)
-    else:
-        intervals = [scan]
-    mcu_idx = 0
     n_mcus = mcus_x * mcus_y
-    for seg_i, seg in enumerate(intervals):
-        rd = _BitReader(seg)
+    for rd, units in _restart_segments(scan, restart, n_mcus):
         preds = {c["id"]: 0 for c in comps}
-        upto = min(n_mcus, mcu_idx + restart) if restart else n_mcus
-        while mcu_idx < upto:
+        for mcu_idx in units:
             my, mx = divmod(mcu_idx, mcus_x)
             for c in order:
                 for v in range(c["v"]):
@@ -1138,6 +1133,5 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         py = (my * c["v"] + v) * 8
                         px = (mx * c["h"] + hh) * 8
                         planes[c["id"]][py : py + 8, px : px + 8] = block
-            mcu_idx += 1
 
     return _finish(planes, frame)
